@@ -1,0 +1,242 @@
+"""Deterministic, seeded change-event stream generator.
+
+Produces the changelog table of BASELINE.json's input_hint —
+``(seq, repo, path, op, commit, lang, content, before_content, new_path)``
+— with the validity constraints a real MySQL binlog row-event stream obeys
+(reference semantics: backup/binlog/repl.go:144-236):
+
+- the first event for a dead key is 'I' (WRITE_ROWS);
+- 'U' / 'D' (UPDATE_ROWS / DELETE_ROWS) only target live keys;
+- no 'I' on a live key; 'I' after 'D' (re-insert) is allowed;
+- key-changing updates ("renames") carry ``new_path`` and are semantically
+  D(repo, path) + I(repo, new_path) — exactly how the reference handles a
+  unique-key-changing UPDATE (backup/binlog/repl.go:210-235);
+- ``lang`` is NULL for seq < evolution_seq and populated after — the
+  additive schema-evolution case (SURVEY.md §2.9 T8);
+- repos are skewed: ``hot_frac`` of repos receive ``hot_weight`` of events
+  (the per-table hot-spot the reference serializes on a single goroutine,
+  backup/handler/merge.go:236-238 — the thing our salting must beat).
+
+Everything is a pure function of (spec.seed, spec.n_events): re-running is
+bit-identical, which is what makes resume / exactly-once tests hermetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from random import Random
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EVENT_SCHEMA = pa.schema(
+    [
+        pa.field("seq", pa.int64(), nullable=False),
+        pa.field("repo", pa.string(), nullable=False),
+        pa.field("path", pa.string(), nullable=False),
+        pa.field("op", pa.string(), nullable=False),  # 'I' | 'U' | 'D'
+        pa.field("commit", pa.string(), nullable=False),  # 40-hex
+        pa.field("lang", pa.string(), nullable=True),
+        pa.field("content", pa.string(), nullable=True),  # null when op='D'
+        pa.field("before_content", pa.string(), nullable=True),  # null when op='I'
+        pa.field("new_path", pa.string(), nullable=True),  # non-null on rename
+    ]
+)
+
+_EXTENSIONS = [
+    ("py", "python"),
+    ("go", "go"),
+    ("rs", "rust"),
+    ("java", "java"),
+    ("md", "markdown"),
+    ("c", "c"),
+]
+
+
+@dataclass(frozen=True)
+class ChangelogSpec:
+    n_events: int
+    seed: int = 42
+    n_repos: int = 50
+    hot_frac: float = 0.2  # fraction of repos that are "hot"
+    hot_weight: float = 0.8  # fraction of events landing on hot repos
+    evolution_frac: float = 0.5  # seq >= n_events*evolution_frac carry lang
+    p_insert: float = 0.50
+    p_update: float = 0.35
+    p_delete: float = 0.10
+    p_rename: float = 0.05
+
+    @property
+    def evolution_seq(self) -> int:
+        return int(self.n_events * self.evolution_frac)
+
+
+def _commit_for(seed: int, seq: int) -> str:
+    return hashlib.sha1(f"{seed}:{seq}".encode()).hexdigest()
+
+
+def _content_for(repo: str, path: str, commit: str, version: int) -> str:
+    # Deterministic ~130-char payload; varied per (key, version).
+    return f"// {repo}/{path} rev{version}\n{commit}\n{commit[::-1]}\n{commit[:20]}*{version}\n"
+
+
+def _lang_for(path: str) -> str:
+    ext = path.rsplit(".", 1)[-1]
+    for e, lang in _EXTENSIONS:
+        if e == ext:
+            return lang
+    return "text"
+
+
+class _KeyState:
+    """O(1) sample/add/remove over the live-key set (list + index map)."""
+
+    __slots__ = ("keys", "pos", "content", "version")
+
+    def __init__(self) -> None:
+        self.keys: list[tuple[str, str]] = []
+        self.pos: dict[tuple[str, str], int] = {}
+        self.content: dict[tuple[str, str], str] = {}
+        self.version: dict[tuple[str, str], int] = {}
+
+    def add(self, k: tuple[str, str], content: str, version: int) -> None:
+        self.pos[k] = len(self.keys)
+        self.keys.append(k)
+        self.content[k] = content
+        self.version[k] = version
+
+    def remove(self, k: tuple[str, str]) -> None:
+        i = self.pos.pop(k)
+        last = self.keys.pop()
+        if last != k:
+            self.keys[i] = last
+            self.pos[last] = i
+        del self.content[k]
+        del self.version[k]
+
+    def sample(self, rnd: Random) -> tuple[str, str]:
+        return self.keys[rnd.randrange(len(self.keys))]
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+
+def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
+    """Yield pyarrow RecordBatches of events in strict seq order."""
+    rnd = Random(spec.seed)
+    n_hot = max(1, int(spec.n_repos * spec.hot_frac))
+    repos = [f"repo-{i:04d}" for i in range(spec.n_repos)]
+    hot, cold = repos[:n_hot], repos[n_hot:] or repos[:1]
+
+    state = _KeyState()
+    path_counter: dict[str, int] = {}
+    dead_pool: list[tuple[str, str]] = []  # candidates for re-insert
+
+    cols: dict[str, list] = {name: [] for name in EVENT_SCHEMA.names}
+
+    def new_path(repo: str) -> str:
+        c = path_counter.get(repo, 0)
+        path_counter[repo] = c + 1
+        ext = _EXTENSIONS[c % len(_EXTENSIONS)][0]
+        return f"src/dir{c % 7}/file_{c:06d}.{ext}"
+
+    def emit(seq, repo, path, op, commit, lang, content, before, npath):
+        cols["seq"].append(seq)
+        cols["repo"].append(repo)
+        cols["path"].append(path)
+        cols["op"].append(op)
+        cols["commit"].append(commit)
+        cols["lang"].append(lang)
+        cols["content"].append(content)
+        cols["before_content"].append(before)
+        cols["new_path"].append(npath)
+
+    for seq in range(spec.n_events):
+        commit = _commit_for(spec.seed, seq)
+        r = rnd.random()
+        if len(state) == 0:
+            op = "I"
+        elif r < spec.p_insert:
+            op = "I"
+        elif r < spec.p_insert + spec.p_update:
+            op = "U"
+        elif r < spec.p_insert + spec.p_update + spec.p_delete:
+            op = "D"
+        else:
+            op = "R"  # rename: emitted as op='U' with new_path
+
+        if op == "I":
+            repo = rnd.choice(hot) if rnd.random() < spec.hot_weight else rnd.choice(cold)
+            if dead_pool and rnd.random() < 0.2:
+                key = dead_pool.pop(rnd.randrange(len(dead_pool)))
+                if key in state.pos:  # re-inserted already
+                    key = (repo, new_path(repo))
+            else:
+                key = (repo, new_path(repo))
+            version = 0
+            content = _content_for(key[0], key[1], commit, version)
+            lang = _lang_for(key[1]) if seq >= spec.evolution_seq else None
+            emit(seq, key[0], key[1], "I", commit, lang, content, None, None)
+            state.add(key, content, version)
+        elif op == "U":
+            key = state.sample(rnd)
+            before = state.content[key]
+            version = state.version[key] + 1
+            content = _content_for(key[0], key[1], commit, version)
+            lang = _lang_for(key[1]) if seq >= spec.evolution_seq else None
+            emit(seq, key[0], key[1], "U", commit, lang, content, before, None)
+            state.content[key] = content
+            state.version[key] = version
+        elif op == "D":
+            key = state.sample(rnd)
+            before = state.content[key]
+            emit(seq, key[0], key[1], "D", commit, None, None, before, None)
+            state.remove(key)
+            dead_pool.append(key)
+            if len(dead_pool) > 10_000:
+                dead_pool = dead_pool[-5_000:]
+        else:  # rename
+            key = state.sample(rnd)
+            before = state.content[key]
+            repo = key[0]
+            npath = new_path(repo)
+            version = state.version[key] + 1
+            commit2 = commit
+            content = _content_for(repo, npath, commit2, version)
+            lang = _lang_for(npath) if seq >= spec.evolution_seq else None
+            emit(seq, repo, key[1], "U", commit2, lang, content, before, npath)
+            state.remove(key)
+            state.add((repo, npath), content, version)
+
+        if len(cols["seq"]) >= batch_size:
+            yield pa.RecordBatch.from_pydict(cols, schema=EVENT_SCHEMA)
+            cols = {name: [] for name in EVENT_SCHEMA.names}
+
+    if cols["seq"]:
+        yield pa.RecordBatch.from_pydict(cols, schema=EVENT_SCHEMA)
+
+
+def generate_events_pandas(spec: ChangelogSpec) -> pd.DataFrame:
+    """Small-scale convenience: full event table as pandas (tests/oracle)."""
+    batches = list(iter_event_batches(spec))
+    return pa.Table.from_batches(batches, schema=EVENT_SCHEMA).to_pandas()
+
+
+def write_events_parquet(
+    spec: ChangelogSpec, out_path: str, row_group_size: int = 1_000_000
+) -> int:
+    """Stream events to a parquet file; returns event count.
+
+    Row groups of 1M rows keep parquet min/max stats on ``seq`` tight so
+    the engine's per-epoch ``seq BETWEEN`` filters prune row groups at scan
+    time (the Spark analog of the reference's file-range selection before
+    download, common/client/cfs.go:365-418).
+    """
+    n = 0
+    with pq.ParquetWriter(out_path, EVENT_SCHEMA, compression="zstd") as w:
+        for batch in iter_event_batches(spec, batch_size=row_group_size):
+            w.write_batch(batch)
+            n += batch.num_rows
+    return n

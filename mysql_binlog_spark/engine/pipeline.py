@@ -1,0 +1,144 @@
+"""Epoch-driven ingest: the Spark analog of the reference's backup / merge /
+recover lifecycle (SURVEY.md §3).
+
+One epoch = one seq-range micro-batch = one idempotent MERGE commit:
+
+    read events WHERE seq in (lo, hi]      (parquet row-group pruning —
+                                            the analog of the reference's
+                                            file-range selection,
+                                            common/client/cfs.go:365-418)
+    -> expand_renames                       (D+I normalization)
+    -> collapse_latest                      (per-key fold, §2.4)
+    -> LakeTable.merge(batch, epoch)        (fenced, atomic)
+
+Resume (reference: backup/main.go:91-95, recover/res/resume.go:171-307):
+restart reads the committed high-watermark and continues from the next
+unapplied epoch. Because epochs are fenced by id and the merge is
+idempotent, at-least-once scheduling yields exactly-once table state.
+
+recover (reference: recover/main.go:66-145): full replay from seq 0 into a
+fresh table — must reproduce the oracle's final state bit-for-bit
+(sha256(content) per row).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.lake.table import LakeTable, MergeResult
+from mysql_binlog_spark.operators.collapse import (
+    collapse_latest,
+    expand_renames,
+    snapshot_from_events,
+)
+
+
+@dataclass
+class IngestReport:
+    epochs_run: int
+    epochs_skipped: int
+    events_in: int
+    wall_ms: int
+    merges: list[MergeResult] = field(default_factory=list)
+
+    @property
+    def events_per_sec(self) -> float:
+        return self.events_in / (self.wall_ms / 1000.0) if self.wall_ms else 0.0
+
+
+def plan_epochs(max_seq: int, epoch_size: int, start_seq: int = -1) -> list[tuple[int, int, int]]:
+    """Split (start_seq, max_seq] into fixed seq-range epochs.
+
+    Epoch ids are derived from absolute seq position (not run order), so a
+    resumed run assigns the same id to the same range — that is what makes
+    the fence meaningful across restarts.
+    """
+    epochs = []
+    lo = start_seq
+    while lo < max_seq:
+        hi = min(lo + epoch_size, max_seq)
+        epoch_id = (lo + 1) // epoch_size
+        epochs.append((epoch_id, lo, hi))
+        lo = hi
+    return epochs
+
+
+def _read_events(spark: SparkSession, events_path: str) -> DataFrame:
+    return spark.read.parquet(events_path)
+
+
+def run_ingest(
+    spark: SparkSession,
+    events_path: str,
+    table: LakeTable,
+    epoch_size: int = 1_000_000,
+    stop_after_epochs: int | None = None,
+    max_seq: int | None = None,
+) -> IngestReport:
+    """Apply all (remaining) events to ``table`` in epoch micro-batches.
+
+    ``stop_after_epochs`` simulates a crash mid-stream for resume tests
+    (the reference analog: kill -9 between flushes; position table says
+    where to restart, common/db/mysql.go:198-226).
+    """
+    t0 = time.monotonic()
+    events = _read_events(spark, events_path)
+    if max_seq is None:
+        max_seq = events.agg(F.max("seq")).collect()[0][0]
+        if max_seq is None:
+            return IngestReport(0, 0, 0, 0)
+
+    hwm = table.high_watermark()
+    applied = set(table.epochs_applied())
+    epochs = [e for e in plan_epochs(max_seq, epoch_size) if e[0] not in applied]
+    # resume: also skip ranges entirely below the committed high-watermark
+    epochs = [e for e in epochs if e[2] > hwm]
+
+    report = IngestReport(0, 0, 0, 0)
+    for epoch_id, lo, hi in epochs:
+        if stop_after_epochs is not None and report.epochs_run >= stop_after_epochs:
+            break
+        ev = events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
+        batch = collapse_latest(expand_renames(ev))
+        res = table.merge(batch, epoch=epoch_id)
+        report.merges.append(res)
+        if res.committed:
+            report.epochs_run += 1
+            report.events_in += res.rows_in
+        else:
+            report.epochs_skipped += 1
+    report.wall_ms = int((time.monotonic() - t0) * 1000)
+    return report
+
+
+def recover(
+    spark: SparkSession,
+    events_path: str,
+    table: LakeTable,
+    epoch_size: int = 1_000_000,
+) -> IngestReport:
+    """Full replay from seq 0 (reference: recover/main.go:66-145)."""
+    return run_ingest(spark, events_path, table, epoch_size=epoch_size)
+
+
+def snapshot_direct(spark: SparkSession, events_path: str) -> DataFrame:
+    """Single-pass snapshot (no epochs) — the 'merge' binary analog:
+    collapse an entire bounded range into one output (merge/main.go:274-298).
+    """
+    return snapshot_from_events(_read_events(spark, events_path))
+
+
+def table_snapshot(table: LakeTable) -> DataFrame:
+    """Current lake state in oracle-snapshot shape (with sha256 column)."""
+    cols = ["repo", "path", "commit", "lang", "content"]
+    state = table.read_state()
+    for c in cols:
+        if c not in state.columns:
+            state = state.withColumn(c, F.lit(None).cast("string"))
+    return state.select(
+        *cols, F.sha2(F.col("content"), 256).alias("content_sha256")
+    )

@@ -1,0 +1,346 @@
+"""LakeTable — an Iceberg-style, parquet-backed lake table with atomic
+snapshots, hash-bucketed copy-on-write MERGE, additive schema evolution,
+and epoch fencing for exactly-once.
+
+Why not a real Iceberg catalog: this container has no Iceberg runtime jar,
+so we implement the same *semantics* on plain parquet + JSON manifests.
+The layout and commit protocol mirror Iceberg's (manifest list + atomic
+pointer swap); on a cluster with Iceberg available the engine's merge step
+is a drop-in ``MERGE INTO`` (see ``engine.pipeline``).
+
+Reference analogies (what each piece replaces in NineT/mysql-binlog):
+
+- the per-(table x granularity) LevelDB working state
+  (backup/handler/merge.go:368-443) -> the bucketed table state itself;
+- atomic state swap by ``os.Rename`` of a LevelDB dir
+  (common/db/ldb.go:30-59) -> atomic ``os.replace`` of the _current
+  snapshot pointer;
+- the ``position`` meta row with status='success' written only after a
+  flush completes (common/db/mysql.go:229-246) -> checkpoint/lineage rows
+  embedded in the committed manifest: a crash before commit leaves no
+  trace, a replayed epoch is detected by its epoch id (fencing) and
+  skipped -> at-least-once scheduling + idempotent commit = exactly-once;
+- compacted synthetic binlog files ({type}_{start}_{end}.log,
+  common/inter/constant.go:134-136) -> parquet data files named
+  epoch{E}-*.parquet per bucket.
+
+Scale design (the part that must survive 100 TB / 1000 executors):
+
+- Data is hash-bucketed on the merge key: bucket = pmod(xxhash64(repo,
+  path), n_buckets). A merge epoch only reads + rewrites the buckets its
+  batch touches — file-granularity copy-on-write, like Iceberg's
+  merge-on-read/copy-on-write partition pruning. An incremental batch
+  touching 3% of buckets rewrites 3% of the table, not 100%.
+- The batch side is aggregated per key before the merge (collapse), so the
+  anti-join's build side is bounded by |keys in batch|, not |events|.
+- n_buckets is the tuning knob: at 100 TB, pick buckets of ~0.5-1 GB
+  (n_buckets ~ 10^5); AQE coalesces small ones at read time.
+- Per-bucket metrics rows (rows_in/upserted/deleted, hwm seq) give
+  per-partition lineage, and make skew visible (hot buckets show up
+  directly in the checkpoint table).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KEY_COLS = ["repo", "path"]
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("hwm_seq", T.LongType(), True),
+        T.StructField("rows_in", T.LongType(), True),
+        T.StructField("rows_upserted", T.LongType(), True),
+        T.StructField("rows_deleted", T.LongType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("status", T.StringType(), False),
+    ]
+)
+
+
+@dataclass
+class MergeResult:
+    epoch: int
+    committed: bool  # False when fenced (epoch already applied)
+    buckets_touched: int
+    rows_in: int
+    rows_upserted: int
+    rows_deleted: int
+    wall_ms: int
+
+
+def bucket_expr(n_buckets: int):
+    """Deterministic key -> bucket assignment (stable across epochs)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in KEY_COLS]), F.lit(n_buckets)).cast(
+        "int"
+    )
+
+
+class LakeTable:
+    """A keyed lake table at ``root`` with atomic snapshot commits."""
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+        self.spark = spark
+        self.root = root
+        self.n_buckets = n_buckets
+        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+
+    # ---------------- snapshot / manifest plumbing ----------------
+
+    def _current_path(self) -> str:
+        return os.path.join(self.root, "_current")
+
+    def current_version(self) -> int:
+        try:
+            with open(self._current_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "_snapshots", f"v{version:08d}.json")
+
+    def read_manifest(self, version: int | None = None) -> dict:
+        v = version if version is not None else self.current_version()
+        if v == 0:
+            return {
+                "version": 0,
+                "epoch": None,
+                "epochs_applied": [],
+                "buckets": {},
+                "schema": None,
+                "checkpoints": [],
+            }
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> None:
+        """Write manifest v(N+1), then atomically flip the pointer.
+
+        The pointer flip (os.replace) is the single linearization point —
+        the analog of the reference's LevelDB rename-swap
+        (common/db/ldb.go:30-59). A crash anywhere before it leaves the
+        table at version N with orphan data files (harmless; vacuum-able).
+        """
+        v = manifest["version"]
+        with open(self._manifest_path(v), "w") as f:
+            json.dump(manifest, f)
+        tmp = self._current_path() + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._current_path())
+
+    def epochs_applied(self) -> list[int]:
+        return list(self.read_manifest().get("epochs_applied", []))
+
+    def schema(self) -> T.StructType | None:
+        m = self.read_manifest()
+        return T.StructType.fromJson(m["schema"]) if m["schema"] else None
+
+    # ---------------- reads ----------------
+
+    def _bucket_files(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
+        bmap = manifest["buckets"]
+        if buckets is None:
+            keys = bmap.keys()
+        else:
+            keys = [str(b) for b in buckets]
+        files: list[str] = []
+        for k in keys:
+            files.extend(bmap.get(k, []))
+        return files
+
+    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
+        """Current table state (optionally only the given buckets).
+
+        Reads by explicit live-file list from the committed manifest (never
+        by directory listing), with the manifest's schema imposed so files
+        written before an additive column evolution surface it as NULL —
+        Iceberg-style schema-on-read.
+        """
+        manifest = self.read_manifest()
+        schema = self.schema()
+        files = self._bucket_files(manifest, buckets)
+        if not files or schema is None:
+            if schema is None:
+                schema = T.StructType([T.StructField(c, T.StringType()) for c in KEY_COLS])
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    def checkpoints(self) -> DataFrame:
+        """Per-(epoch, bucket) lineage + metrics rows from committed
+        snapshots only (uncommitted work is invisible, like status !=
+        'success' rows in the reference's position table)."""
+        rows = []
+        m = self.read_manifest()
+        rows.extend(m.get("checkpoints", []))
+        return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+
+    def high_watermark(self) -> int:
+        """Max seq applied across committed epochs (-1 if empty)."""
+        m = self.read_manifest()
+        hwms = [c["hwm_seq"] for c in m.get("checkpoints", []) if c["hwm_seq"] is not None]
+        return max(hwms) if hwms else -1
+
+    # ---------------- MERGE (the upsert join, SURVEY §2.6 J1) ----------------
+
+    def merge(self, batch: DataFrame, epoch: int) -> MergeResult:
+        """Idempotent MERGE INTO: apply a collapsed batch to the table.
+
+        ``batch`` must have one row per key: KEY_COLS + ('seq', 'op',
+        payload...) where op=='D' rows are delete tombstones (output of
+        ``operators.collapse_latest``). Equivalent Iceberg SQL:
+
+            MERGE INTO t USING batch s
+              ON t.repo = s.repo AND t.path = s.path
+              WHEN MATCHED AND s.op = 'D' THEN DELETE
+              WHEN MATCHED THEN UPDATE SET *
+              WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
+
+        Exactly-once: if ``epoch`` is already in the committed manifest the
+        call is a fenced no-op (T4 in SURVEY §2.9).
+        """
+        t0 = time.monotonic()
+        manifest = self.read_manifest()
+        if epoch in manifest.get("epochs_applied", []):
+            return MergeResult(epoch, False, 0, 0, 0, 0, 0)
+
+        batch = batch.withColumn("bucket", bucket_expr(self.n_buckets))
+
+        # rows_in = number of underlying change events when the batch is a
+        # collapse output (it carries n_events per key); else keys in batch.
+        rows_in_expr = (
+            F.sum("n_events") if "n_events" in batch.columns else F.count(F.lit(1))
+        )
+        # One aggregation job yields: affected buckets, per-bucket metrics.
+        stats = (
+            batch.groupBy("bucket")
+            .agg(
+                rows_in_expr.alias("rows_in"),
+                F.max("seq").alias("hwm_seq"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("rows_deleted"),
+                F.sum(F.when(F.col("op") != "D", 1).otherwise(0)).alias("rows_upserted"),
+            )
+            .collect()
+        )
+        if not stats:
+            # empty epoch still commits (advances the fence)
+            manifest = self._next_manifest(manifest, epoch, {}, [])
+            self._commit(manifest)
+            return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
+
+        touched = sorted(int(r["bucket"]) for r in stats)
+        drop_cols = ["op"] + (["n_events"] if "n_events" in batch.columns else [])
+        upserts = batch.filter(F.col("op") != "D").drop(*drop_cols)
+        batch_keys = batch.select("bucket", *KEY_COLS)
+
+        state = self.read_state(buckets=touched)
+        state = state.withColumn("bucket", bucket_expr(self.n_buckets))
+
+        # COW per bucket: survivors (state keys not in batch) + upserts.
+        # Anti-join is bucket-local by construction; Catalyst shuffles both
+        # sides on the key — on a real cluster, bucketed table layout makes
+        # this a co-located join.
+        survivors = state.join(batch_keys, on=["bucket", *KEY_COLS], how="left_anti")
+        new_state = survivors.unionByName(upserts, allowMissingColumns=True)
+
+        stage = os.path.join(self.root, "data", f"epoch{epoch:06d}-{uuid.uuid4().hex[:8]}")
+        (
+            new_state.repartition(max(len(touched), 1), "bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+
+        # Discover written files per bucket (driver-side listing of the
+        # staging dir only — O(touched buckets), not O(table)).
+        new_files: dict[str, list[str]] = {}
+        for b in touched:
+            bdir = os.path.join(stage, f"bucket={b}")
+            if os.path.isdir(bdir):
+                fs = [
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                ]
+                if fs:
+                    new_files[str(b)] = sorted(fs)
+            # a touched bucket can end up empty (all keys deleted) -> no files
+
+        # schema evolution: additive merge (new columns appended)
+        new_schema = self._evolve_schema(manifest, new_state.drop("bucket").schema)
+
+        cp_rows = [
+            {
+                "epoch": epoch,
+                "bucket": int(r["bucket"]),
+                "hwm_seq": int(r["hwm_seq"]) if r["hwm_seq"] is not None else None,
+                "rows_in": int(r["rows_in"]),
+                "rows_upserted": int(r["rows_upserted"]),
+                "rows_deleted": int(r["rows_deleted"]),
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "status": "success",
+            }
+            for r in stats
+        ]
+        nxt = self._next_manifest(manifest, epoch, new_files, cp_rows, touched, new_schema)
+        self._commit(nxt)
+
+        rows_in = sum(r["rows_in"] for r in stats)
+        rows_del = sum(r["rows_deleted"] for r in stats)
+        rows_ups = sum(r["rows_upserted"] for r in stats)
+        return MergeResult(
+            epoch,
+            True,
+            len(touched),
+            rows_in,
+            rows_ups,
+            rows_del,
+            int((time.monotonic() - t0) * 1000),
+        )
+
+    def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
+        """Additive-only schema evolution (SURVEY §2.9 T8): existing columns
+        keep their position/type; genuinely new columns are appended."""
+        if not manifest["schema"]:
+            return batch_schema.jsonValue()
+        cur = T.StructType.fromJson(manifest["schema"])
+        names = {f.name for f in cur.fields}
+        fields = list(cur.fields)
+        for f in batch_schema.fields:
+            if f.name not in names:
+                fields.append(T.StructField(f.name, f.dataType, True))
+        return T.StructType(fields).jsonValue()
+
+    def _next_manifest(
+        self,
+        manifest: dict,
+        epoch: int,
+        new_files: dict[str, list[str]],
+        cp_rows: list[dict],
+        touched: list[int] | None = None,
+        new_schema: dict | None = None,
+    ) -> dict:
+        buckets = dict(manifest["buckets"])
+        for b in touched or []:
+            buckets.pop(str(b), None)  # touched bucket fully rewritten
+        buckets.update(new_files)
+        return {
+            "version": manifest["version"] + 1,
+            "epoch": epoch,
+            "epochs_applied": sorted(set(manifest.get("epochs_applied", [])) | {epoch}),
+            "buckets": buckets,
+            "schema": new_schema or manifest["schema"],
+            "checkpoints": list(manifest.get("checkpoints", [])) + cp_rows,
+        }
