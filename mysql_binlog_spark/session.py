@@ -25,6 +25,16 @@ def get_spark(
     scale this is instead tuned to ~2-3x total cores / target partition
     size; AQE coalescing corrects over-partitioning at runtime.
     """
+    # Make this package importable in executor Python workers regardless of
+    # the driver's cwd — the local-mode analog of `spark-submit --py-files`.
+    # (Workers unpickle mapInPandas/pandas_udf closures by module reference.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{pp}" if pp else repo_root
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"

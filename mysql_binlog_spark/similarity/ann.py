@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (array<double>).
+
+Three tiers:
+
+- ``brute_force_topk`` — exact cosine top-k: broadcast the query vector,
+  one pass, one top-k sort. The correctness baseline and perfectly
+  scalable for a single query (scan is embarrassingly parallel; the sort
+  is a TakeOrderedAndProject, not a full shuffle).
+- ``lsh_topk`` — random-hyperplane LSH: probe only the query's sign-bucket
+  (and optionally neighboring buckets). Deterministic hyperplanes are
+  derived from md5 of (plane, dim) — no stored model, same buckets every
+  run, reproducible across engines.
+- ``ivf_topk`` — IVF-style: k-means-lite centroids (deterministic seeded
+  sample + one Lloyd iteration computed WITH DataFrame aggs), probe the
+  nprobe nearest cells. The scale path for batch queries at 100 TB: the
+  centroid assignment partitions the table once; each query touches
+  nprobe cells.
+
+All vector math is built-in higher-order functions (zip_with/aggregate)
+— JVM-side, codegen'd, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector (the baseline)."""
+    q = _query_lit(query_vec)
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), q), 4).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _plane_sign_seed(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random +/-1 from md5 — engine-independent."""
+    h = hashlib.md5(f"plane{plane}:dim{dim}".encode()).hexdigest()
+    return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(<v, h_p>) with
+    h_p in {-1,+1}^dim derived deterministically from md5(plane, dim)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        signs = F.array(*[F.lit(_plane_sign_seed(p, d)) for d in range(dim)])
+        proj = dot_expr(vec, signs)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only rows in the query's LSH bucket(s).
+
+    ``multiprobe``: also probe buckets within that Hamming distance of the
+    query's bucket (standard multi-probe LSH — near neighbors that fall
+    just across one hyperplane are recovered without more tables).
+    multiprobe=1 probes n_planes+1 of the 2^n_planes buckets.
+
+    At scale the table is written partitioned by bucket, so this becomes a
+    partition-pruned scan of (n_planes+1)/2^n_planes of the data.
+    """
+    dim = len(query_vec)
+    qbucket = 0
+    for p in range(n_planes):
+        proj = sum(q * _plane_sign_seed(p, d) for d, q in enumerate(query_vec))
+        if proj >= 0:
+            qbucket |= 1 << p
+    probes = {qbucket}
+    if multiprobe >= 1:
+        probes |= {qbucket ^ (1 << p) for p in range(n_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qbucket ^ (1 << p) ^ (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        }
+    cand = df.filter(
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).isin(*probes)
+    )
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def ivf_build_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """IVF coarse quantizer: deterministic seeds (first n_cells ids) +
+    one Lloyd refinement step computed distributively (groupBy + avg over
+    posexplode'd components). Returns centroid vectors (small; driver-held
+    and broadcast into queries)."""
+    seeds = [
+        r["v"]
+        for r in df.orderBy(id_col)
+        .limit(n_cells)
+        .select(F.col(vec_col).alias("v"))
+        .collect()
+    ]
+    assign = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _nearest_cell_expr(F.col(vec_col), seeds).alias("cell"),
+    )
+    # one Lloyd step: mean vector per cell, computed without any UDF
+    means = (
+        assign.select("cell", F.posexplode("v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        .orderBy("cell")
+        .collect()
+    )
+    out = list(seeds)
+    for r in means:
+        out[r["cell"]] = list(r["centroid"])
+    return out
+
+
+def _nearest_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    best = F.struct(F.lit(-1e18).alias("sim"), F.lit(-1).alias("cell"))
+    scored = F.array(
+        *[
+            F.struct(
+                cosine_expr(vec, _query_lit(c)).alias("sim"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return F.array_max(scored)["cell"]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: scan only the nprobe cells nearest to the query."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
+    )
+    probe = set(ranked[:nprobe])
+    cell = _nearest_cell_expr(F.col(vec_col), centroids)
+    cand = df.filter(cell.isin(*probe))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -1,0 +1,1 @@
+from mysql_binlog_spark.streaming.ingest import stream_ingest  # noqa: F401

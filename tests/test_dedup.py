@@ -1,0 +1,101 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_duplicate_groups,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token change
+FAR = (
+    "completely different content about spark shuffle partitions and "
+    "catalyst optimizer rules for large scale joins in the cloud"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, NEAR),  # near dup of 0
+        (3, FAR),
+        (4, FAR + " extra tail words here"),  # near dup of 3
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_duplicate_groups(docs).toPandas()
+    assert groups["n_copies"].sum() == 5
+    assert (groups["n_copies"] == 2).sum() == 1  # the (0,1) pair
+    kept = exact_dedup(docs).toPandas()
+    assert sorted(kept["doc_id"]) == [0, 2, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = minhash_dedup_pairs(docs, num_perm=16, bands=8, threshold=0.4).toPandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found  # exact dup: est_jaccard = 1.0
+    assert (0, 2) in found or (1, 2) in found  # near dup
+    exact = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]
+    assert (exact["est_jaccard"] == 1.0).all()
+
+
+def test_simhash_near_dups(spark, docs):
+    pairs = simhash_near_dup_pairs(docs, max_hamming=12).toPandas()
+    found = {tuple(p) for p in pairs[["id_a", "id_b"]].itertuples(index=False)}
+    assert (0, 1) in found
+    h01 = pairs[(pairs.id_a == 0) & (pairs.id_b == 1)]["hamming"].iloc[0]
+    assert h01 == 0  # identical text -> identical simhash
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.3).toPandas()
+    d = {(r.id_a, r.id_b): r.jaccard for r in pairs.itertuples()}
+    assert d[(0, 1)] == 1.0
+    assert 0.5 < d[(0, 2)] < 1.0
+    assert (3, 4) in d
+    assert (0, 3) not in d and (1, 3) not in d
+
+
+def test_embedding_near_dup(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # add an exact duplicate of vec 0 under a new id
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9999).cast("long"))
+    pairs = embedding_near_dup_pairs(
+        emb.unionByName(dup), threshold=0.999, blocked=True
+    ).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 9999)).any()
+
+
+def test_no_python_in_dedup_plans(spark, docs):
+    for df in [
+        exact_duplicate_groups(docs),
+        minhash_dedup_pairs(docs),
+        simhash_near_dup_pairs(docs, max_hamming=12),
+        ngram_jaccard_pairs(docs),
+    ]:
+        assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_minhash_perms_are_distinct(spark, docs):
+    """Regression for the lambda-arity bug: the 16 permutations must be
+    genuinely different hash functions, so a typical doc's signature has
+    many distinct components."""
+    from mysql_binlog_spark.dedup.minhash import minhash_signatures
+
+    sigs = minhash_signatures(docs, num_perm=16).toPandas()
+    assert (sigs["sig"].map(lambda s: len(set(s))) > 8).all()

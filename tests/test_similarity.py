@@ -1,0 +1,58 @@
+"""ANN over the embeddings table: brute force baseline, LSH and IVF paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.similarity import (
+    brute_force_topk,
+    hyperplane_bucket,
+    ivf_build_centroids,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"])
+
+
+def test_brute_force_self_is_top1(spark, emb, qvec):
+    top = brute_force_topk(emb, qvec, k=5).toPandas()
+    assert top.iloc[0]["vec_id"] == 0
+    assert abs(top.iloc[0]["cosine"] - 1.0) < 1e-6
+    assert (top["cosine"].diff().dropna() <= 0).all()  # descending
+
+
+def test_lsh_topk_contains_self(spark, emb, qvec):
+    top = lsh_topk(emb, qvec, k=5, n_planes=6).toPandas()
+    assert top.iloc[0]["vec_id"] == 0  # query's own bucket contains it
+
+
+def test_lsh_bucket_is_deterministic(spark, emb):
+    a = emb.select(hyperplane_bucket(F.col("embedding"), 6).alias("b")).toPandas()
+    b = emb.select(hyperplane_bucket(F.col("embedding"), 6).alias("b")).toPandas()
+    assert (a["b"] == b["b"]).all()
+    assert a["b"].nunique() > 4  # actually spreads
+
+
+def test_ivf_recall_vs_brute_force(spark, emb, qvec):
+    cents = ivf_build_centroids(emb, n_cells=8)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    exact = set(brute_force_topk(emb, qvec, k=10).toPandas()["vec_id"])
+    approx = set(ivf_topk(emb, qvec, cents, k=10, nprobe=4).toPandas()["vec_id"])
+    # recall@10 with half the cells probed should be decent on 500 vecs
+    assert len(exact & approx) >= 5
+    assert 0 in approx
+
+
+def test_no_python_in_ann_plan(spark, emb, qvec):
+    df = brute_force_topk(emb, qvec, k=10)
+    assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
