@@ -1,38 +1,826 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+as a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` carries the
+ANSI-SQL equivalent that DuckDB runs on the same parquet tables.
+
+CDC queries derive a deterministic changelog from the ``events`` table with
+engine-portable arithmetic (modulo + md5 + string concat), so the collapse
+algebra / net-effect typing / snapshot / resume / lineage paths are all
+checked against an independent SQL implementation — the same invariant the
+reference guarantees (replaying compacted output == replaying the original
+stream; SURVEY.md §2.4, reference backup/binlog/repl.go:190-387).
+
+Column names are aligned on both sides (the driver compares by sorted
+column name + value hash). Floating-point outputs are rounded to 4 decimals
+after double-precision math on identical inputs; money sums go through
+DECIMAL(18,2) so they are exact on both engines.
+
+Queries with no oracle entry (minhash/simhash on xxhash64, multimodal
+binary plumbing, fingerprints) are genuinely non-SQL-expressible; the
+driver records a rows-only check for them.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.dedup.embedding import embedding_near_dup_pairs
+from mysql_binlog_spark.dedup.exact import exact_dedup, exact_duplicate_groups
+from mysql_binlog_spark.dedup.jaccard import ngram_jaccard_pairs
+from mysql_binlog_spark.dedup.minhash import minhash_dedup_pairs
+from mysql_binlog_spark.dedup.simhash import simhash_near_dup_pairs
+from mysql_binlog_spark.engine.pipeline import run_ingest, table_snapshot
+from mysql_binlog_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_ish_token_count,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from mysql_binlog_spark.lake.table import LakeTable
+from mysql_binlog_spark.multimodal.media import (
+    decode_image_features,
+    make_media_df,
+    sample_video_frames,
+)
+from mysql_binlog_spark.operators.collapse import (
+    collapse_latest,
+    collapse_net_effect,
+    expand_renames,
+    snapshot_from_events,
+)
+from mysql_binlog_spark.similarity.ann import (
+    _plane_sign_seed,
+    brute_force_topk,
+    hyperplane_bucket,
+    lsh_topk,
+)
+
+# --------------------------------------------------------------------------
+# shared input readers
+# --------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# derived CDC changelog (input_hint shape) — Spark side
+#
+# Deterministic function of the `events` table using only arithmetic both
+# engines evaluate identically: seq=event_id, key=(r<user_id%7>, p<user_id%400>),
+# op from event_id%20 (10 I / 6 U / 3 D / 1 rename-U), commit=md5(seq),
+# additive-evolution lang (NULL on every 3rd event), content/before strings.
+# --------------------------------------------------------------------------
+
+
+def _changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = F.col("event_id")
+    m = seq % 20
+    op = (
+        F.when(m < 10, F.lit("I"))
+        .when(m < 16, F.lit("U"))
+        .when(m < 19, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    path = F.concat(F.lit("p"), (F.col("user_id") % 400).cast("string"))
+    return ev.select(
+        seq.alias("seq"),
+        F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        op.alias("op"),
+        F.md5(seq.cast("string")).alias("commit"),
+        F.when(seq % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("lang"),
+        F.when((m >= 16) & (m < 19), F.lit(None).cast("string"))
+        .otherwise(F.concat(F.col("event_type"), F.lit(":"), seq.cast("string")))
+        .alias("content"),
+        F.when(m < 10, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("b:"), seq.cast("string")))
+        .alias("before_content"),
+        F.when(
+            m == 19,
+            F.concat(path, F.lit("-r"), (seq % 5).cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("new_path"),
+    )
+
+
+# --------------------------------------------------------------------------
+# derived CDC changelog — DuckDB side (independent SQL implementation)
+# --------------------------------------------------------------------------
+
+_CHANGELOG_CTE = """
+changelog AS (
+  SELECT event_id AS seq,
+         'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'p' || CAST(user_id % 400 AS VARCHAR) AS path,
+         CASE WHEN event_id % 20 < 10 THEN 'I'
+              WHEN event_id % 20 < 16 THEN 'U'
+              WHEN event_id % 20 < 19 THEN 'D'
+              ELSE 'U' END AS op,
+         md5(CAST(event_id AS VARCHAR)) AS "commit",
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS lang,
+         CASE WHEN event_id % 20 >= 16 AND event_id % 20 < 19 THEN NULL
+              ELSE event_type || ':' || CAST(event_id AS VARCHAR) END AS content,
+         CASE WHEN event_id % 20 < 10 THEN NULL
+              ELSE 'b:' || CAST(event_id AS VARCHAR) END AS before_content,
+         CASE WHEN event_id % 20 = 19
+              THEN 'p' || CAST(user_id % 400 AS VARCHAR)
+                   || '-r' || CAST(event_id % 5 AS VARCHAR)
+              ELSE NULL END AS new_path
+  FROM events
+)"""
+
+# rename expansion: U-with-new_path -> D(old key) + I(new key); sub breaks
+# the tie so the D half sorts first (mirrors operators.collapse.expand_renames)
+_NORMALIZED_CTE = """
+normalized AS (
+  SELECT seq, 0 AS sub, repo, path, op, "commit", lang, content, before_content
+  FROM changelog WHERE new_path IS NULL
+  UNION ALL
+  SELECT seq, 0 AS sub, repo, path, 'D' AS op, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), before_content
+  FROM changelog WHERE new_path IS NOT NULL
+  UNION ALL
+  SELECT seq, 1 AS sub, repo, new_path AS path, 'I' AS op, "commit", lang,
+         content, CAST(NULL AS VARCHAR)
+  FROM changelog WHERE new_path IS NOT NULL
+)"""
+
+_RANKED_CTE = """
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY repo, path
+                            ORDER BY seq DESC, sub DESC) AS rn,
+         count(*) OVER (PARTITION BY repo, path) AS n_events
+  FROM normalized
+)"""
+
+_CDC_PREFIX = f"WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}, {_RANKED_CTE}"
+
+_SNAPSHOT_SQL = (
+    _CDC_PREFIX
+    + """
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+)
+
+
+# --------------------------------------------------------------------------
+# text-analysis oracle fragments (DuckDB list ops mirroring functions.text)
+# --------------------------------------------------------------------------
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _lang_id_sql() -> str:
+    scores = {
+        lang: f"len(list_filter(t, x -> list_contains({_sql_list(m)}, x)))"
+        for lang, m in LANG_MARKERS.items()
+    }
+    bs = "greatest(" + ", ".join(scores[lg] for lg in scores) + ")"
+    # tie rule mirrors Spark's array_max over struct(score, lang):
+    # highest score, ties broken by lexicographically greatest lang
+    order = sorted(scores, reverse=True)
+    cases = " ".join(f"WHEN {scores[lg]} = best THEN '{lg}'" for lg in order)
+    return (
+        f"CASE WHEN best = 0 THEN 'und' {cases} ELSE 'und' END"
+        .replace("best", f"({bs})")
+    )
+
+
+_SHINGLES_CTE = f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+              ELSE CAST([] AS VARCHAR[]) END AS shingles
+  FROM toks
+)"""
+
+
+def _minhash_band_sql(num_perm: int = 16, bands: int = 4) -> str:
+    rows = num_perm // bands
+    band_conds = []
+    for b in range(bands):
+        cs = [f"a.sig[{b * rows + r + 1}] = b.sig[{b * rows + r + 1}]" for r in range(rows)]
+        band_conds.append("(" + " AND ".join(cs) + ")")
+    return " OR ".join(band_conds)
+
+
+# --------------------------------------------------------------------------
+# similarity oracle fragments — deterministic md5 hyperplanes shared with
+# similarity.ann (same _plane_sign_seed function generates the literals)
+# --------------------------------------------------------------------------
+
+
+def _signs_sql(plane: int, dim: int = 64) -> str:
+    return "[" + ", ".join(
+        f"{_plane_sign_seed(plane, d):.1f}" for d in range(dim)
+    ) + "]"
+
+
+def _bucket_sql(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    terms = [
+        f"(CASE WHEN list_dot_product({vec}, {_signs_sql(p, dim)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+# --------------------------------------------------------------------------
+# CDC resume / lineage helper: epoch pipeline into a temp lake table with a
+# simulated crash + restart (exactly-once fencing exercised on every run)
+# --------------------------------------------------------------------------
+
+_EPOCH_SIZE = 2000
+
+
+def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
+    events_path = os.path.join(tempfile.mkdtemp(prefix="cdc_ev_"), "events.parquet")
+    _changelog_df(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
+        events_path
+    )
+    table = LakeTable(spark, tempfile.mkdtemp(prefix="cdc_lake_"), n_buckets=16)
+    # crash after 2 epochs, then resume from committed checkpoints
+    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE, stop_after_epochs=2)
+    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE)
+    return table
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+
+def q_cdc_collapse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collapse_latest(expand_renames(_changelog_df(spark, sf_dir)))
+
+
+def q_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return collapse_net_effect(expand_renames(_changelog_df(spark, sf_dir)))
+
+
+def q_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return snapshot_from_events(_changelog_df(spark, sf_dir))
+
+
+def q_cdc_existence_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = expand_renames(_changelog_df(spark, sf_dir))
+    return norm.groupBy("repo").agg(
+        F.bool_or(F.col("op") == "I").alias("any_insert"),
+        F.bool_or(F.col("op") == "U").alias("any_update"),
+        F.bool_or(F.col("op") == "D").alias("any_delete"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def q_cdc_hwm_by_repo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _changelog_df(spark, sf_dir).groupBy("repo").agg(
+        F.max("seq").alias("hwm_seq"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+
+
+def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = expand_renames(_changelog_df(spark, sf_dir))
+    epoch = F.floor(F.col("seq") / 1000.0).cast("long").alias("epoch")
+    return norm.groupBy(epoch).agg(
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col("op") == "I", 1).otherwise(0)).alias("n_inserts"),
+        F.sum(F.when(F.col("op") == "U", 1).otherwise(0)).alias("n_updates"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("n_deletes"),
+        F.countDistinct(F.concat_ws("|", "repo", "path")).alias("n_keys"),
+    )
+
+
+def q_cdc_recover_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full epoch pipeline (crash + resume + fenced merges) -> final state."""
+    return table_snapshot(_resumed_table(spark, sf_dir))
+
+
+def q_cdc_epoch_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-epoch lineage/metrics rows from the committed manifests."""
+    cp = _resumed_table(spark, sf_dir).checkpoints()
+    return cp.groupBy("epoch").agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.sum("rows_upserted").alias("rows_upserted"),
+        F.sum("rows_deleted").alias("rows_deleted"),
+        F.max("hwm_seq").alias("hwm_seq"),
+    )
+
+
+def q_cdc_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming front end: drain the changelog with availableNow
+    through foreachBatch + fenced merge; return the final table state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    base = tempfile.mkdtemp(prefix="cdc_stream_")
+    ev_dir = os.path.join(base, "events")
+    os.makedirs(ev_dir)
+    pdf = _changelog_df(spark, sf_dir).orderBy("seq").toPandas()
+    arrow_schema = pa.schema(
+        [pa.field("seq", pa.int64())]
+        + [
+            pa.field(c, pa.string())
+            for c in [
+                "repo", "path", "op", "commit", "lang",
+                "content", "before_content", "new_path",
+            ]
+        ]
+    )
+    n_files = 4
+    chunk = (len(pdf) + n_files - 1) // n_files or 1
+    for i in range(0, max(len(pdf), 1), chunk):
+        part = pdf.iloc[i : i + chunk]
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=arrow_schema, preserve_index=False),
+            os.path.join(ev_dir, f"part-{i // chunk:04d}.parquet"),
+        )
+    table = LakeTable(spark, os.path.join(base, "lake"), n_buckets=16)
+    q = stream_ingest(
+        spark, ev_dir, table, checkpoint_dir=os.path.join(base, "ckpt"),
+        max_files_per_trigger=2, available_now=True,
+    )
+    q.awaitTermination(300)
+    return table_snapshot(table)
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style aggregation; money math through DECIMAL for exactness."""
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1998-09-01")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    disc_price = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    agg = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+        F.sum(disc_price).alias("_sdp"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_sp").cast("double").alias("sum_base_price"),
+        F.col("_sdp").cast("double").alias("sum_disc_price"),
+        F.round(F.col("_sq").cast("double") / F.col("count_order"), 4).alias("avg_qty"),
+        "count_order",
+    )
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact orders x broadcast dims customer/nation/region."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    j = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) over the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet naive timestamps surface as TIMESTAMP_NTZ; cast for unix_millis
+    # (session-tz offset cancels out in the gap differences)
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gap = ms - F.lag(ms).over(w)
+    flagged = ev.select(
+        "user_id", F.when(gap > 1_800_000, 1).otherwise(0).alias("new_sess")
+    )
+    return flagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("new_sess") + 1).alias("n_sessions"),
+    )
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        bpe_ish_token_count("text").alias("n_bpeish"),
+        F.round(punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 4).alias("stopword_ratio"),
+    )
+
+
+def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        quality_score("text").alias("quality"),
+        lang_id("text").alias("pred_lang"),
+        F.col("lang").alias("actual_lang"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicate_groups(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.3
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=16, bands=4, threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (
+        _emb_double(spark, sf_dir).filter(F.col("vec_id") == 0).collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def q_sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir)
+    return brute_force_topk(e, _query_vec(spark, sf_dir), k=10)
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_double(spark, sf_dir)
+    return lsh_topk(e, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1)
+
+
+def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _emb_double(spark, sf_dir), threshold=0.4, blocked=False
+    )
+
+
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(
+        _emb_double(spark, sf_dir), threshold=0.4, blocked=True, n_planes=8
+    )
+
+
+def q_multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_df(spark, n=120)
+    return decode_image_features(media).select(
+        "media_id", "byte_len", "payload_sha256"
+    )
+
+
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = make_media_df(spark, n=120)
+    return sample_video_frames(media, every_ms=5000)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay (changelog -> collapsed final table state
+    with per-row sha256(content)) on sf0.001."""
+    return q_cdc_snapshot(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC core (SURVEY §2.4 collapse algebra, §2.9 lifecycle) ---
+        "cdc_collapse_latest": q_cdc_collapse_latest,
+        "cdc_net_effect": q_cdc_net_effect,
+        "cdc_snapshot": q_cdc_snapshot,
+        "cdc_existence_probes": q_cdc_existence_probes,
+        "cdc_hwm_by_repo": q_cdc_hwm_by_repo,
+        "cdc_epoch_metrics": q_cdc_epoch_metrics,
+        "cdc_recover_snapshot": q_cdc_recover_snapshot,
+        "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
+        "cdc_streaming_ingest": q_cdc_streaming_ingest,
+        # --- relational coverage (scan/filter/agg/join/window) ---
+        "pricing_summary": q_pricing_summary,
+        "nation_revenue": q_nation_revenue,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "user_sessions": q_user_sessions,
+        # --- text analysis ---
+        "text_token_stats": q_text_token_stats,
+        "text_quality_langid": q_text_quality_langid,
+        "text_fingerprint": q_text_fingerprint,
+        # --- deduplication family ---
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        # --- similarity search ---
+        "sim_bruteforce_topk": q_sim_bruteforce_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
+        # --- multimodal plumbing (mapInPandas; stubbed codec) ---
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_video_frames": q_multimodal_video_frames,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS
+    sw = _sql_list(STOPWORDS)
+    cos_ab = _COS.format(a="a.v", b="b.v")
+    cos_q = _COS.format(a="e.v", b="q.qv")
+    bucket_v = _bucket_sql("e.v")
+    band_or = _minhash_band_sql(16, 4)
+    eq16 = "len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))"
+
+    return {
+        "cdc_collapse_latest": _CDC_PREFIX
+        + """
+SELECT repo, path, seq, op, "commit", lang, content, n_events
+FROM ranked WHERE rn = 1
+""",
+        "cdc_net_effect": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE},
+r2 AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY repo, path ORDER BY seq, sub) AS rn_a,
+         row_number() OVER (PARTITION BY repo, path
+                            ORDER BY seq DESC, sub DESC) AS rn_d
+  FROM normalized
+),
+firsts AS (SELECT repo, path, op AS first_op, before_content FROM r2 WHERE rn_a = 1),
+lasts AS (SELECT repo, path, op AS last_op, seq, "commit", lang, content
+          FROM r2 WHERE rn_d = 1)
+SELECT * FROM (
+  SELECT l.repo, l.path,
+         CASE WHEN f.first_op = 'I' AND l.last_op = 'D' THEN NULL
+              WHEN f.first_op = 'I' THEN 'I'
+              WHEN l.last_op = 'D' THEN 'D'
+              ELSE 'U' END AS net_op,
+         f.before_content, l.seq, l.last_op, l."commit", l.lang, l.content
+  FROM lasts l JOIN firsts f ON l.repo = f.repo AND l.path = f.path
+) t WHERE net_op IS NOT NULL
+""",
+        "cdc_snapshot": _SNAPSHOT_SQL,
+        "cdc_existence_probes": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}
+SELECT repo,
+       bool_or(op = 'I') AS any_insert,
+       bool_or(op = 'U') AS any_update,
+       bool_or(op = 'D') AS any_delete,
+       count(*) AS n_events
+FROM normalized GROUP BY repo
+""",
+        "cdc_hwm_by_repo": f"""WITH {_CHANGELOG_CTE}
+SELECT repo, max(seq) AS hwm_seq, count(*) AS n_events,
+       count(DISTINCT path) AS n_paths
+FROM changelog GROUP BY repo
+""",
+        "cdc_epoch_metrics": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}
+SELECT CAST(FLOOR(seq / 1000.0) AS BIGINT) AS epoch,
+       count(*) AS rows_in,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+       count(DISTINCT repo || '|' || path) AS n_keys
+FROM normalized GROUP BY 1
+""",
+        "cdc_recover_snapshot": _SNAPSHOT_SQL,
+        "cdc_epoch_checkpoints": _CDC_PREFIX.replace(
+            "PARTITION BY repo, path",
+            f"PARTITION BY CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT), repo, path",
+        )
+        + f"""
+SELECT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT) AS epoch,
+       CAST(sum(n_events) AS BIGINT) AS rows_in,
+       CAST(sum(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS rows_upserted,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS rows_deleted,
+       max(seq) AS hwm_seq
+FROM ranked WHERE rn = 1 GROUP BY 1
+""",
+        "cdc_streaming_ingest": _SNAPSHOT_SQL,
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4)
+           AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "nation_revenue": """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) t
+WHERE rk <= 3
+""",
+        "user_sessions": """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
+FROM (
+  SELECT user_id,
+         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events) t
+GROUP BY user_id
+""",
+        "text_token_stats": f"""
+SELECT doc_id,
+       len({toks}) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpeish,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / greatest(length(text), 1), 4) AS punct_ratio,
+       round(len(list_filter({toks}, x -> list_contains({sw}, x)))
+             / greatest(len({toks}), 1), 4) AS stopword_ratio
+FROM documents
+""",
+        "text_quality_langid": f"""
+WITH base AS (
+  SELECT doc_id, lang AS actual_lang, {toks} AS t,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+             / greatest(length(text), 1) AS praw
+  FROM documents
+)
+SELECT doc_id,
+       round(((CASE WHEN len(t) >= 10 AND len(t) <= 100000 THEN 1.0 ELSE 0.3 END)
+            + (CASE WHEN praw < 0.2 THEN 1.0 ELSE 0.5 END)
+            + (CASE WHEN len(list_filter(t, x -> list_contains({sw}, x)))
+                         / greatest(len(t), 1) > 0.05
+                     AND len(list_filter(t, x -> list_contains({sw}, x)))
+                         / greatest(len(t), 1) < 0.6
+                    THEN 1.0 ELSE 0.5 END)) / 3.0, 4) AS quality,
+       {_lang_id_sql()} AS pred_lang,
+       actual_lang
+FROM base
+""",
+        "dedup_exact_groups": """
+SELECT md5(text) AS content_md5, count(*) AS n_copies, min(doc_id) AS keep_id
+FROM documents GROUP BY md5(text)
+""",
+        "dedup_exact_keep": """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+""",
+        "dedup_ngram_jaccard": f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh)
+SELECT id_a, id_b,
+       round(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3
+""",
+        "dedup_minhash_lsh": f"""
+WITH {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+mh AS (
+  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || s)) AS h
+  FROM ex, range(0, 16) t(p)
+  GROUP BY doc_id, p
+),
+sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM mh GROUP BY doc_id)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round({eq16} / 16.0, 4) AS est_jaccard,
+         ({band_or}) AS band_match
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+) t WHERE band_match AND est_jaccard >= 0.5
+""",
+        "sim_bruteforce_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+SELECT vec_id, round({cos_q}, 4) AS cosine
+FROM e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+        "sim_lsh_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+b AS (SELECT vec_id, v, {bucket_v} AS bucket FROM e),
+qb AS (SELECT {_bucket_sql("q.qv")} AS qbucket FROM q),
+probes AS (
+  SELECT DISTINCT xor(qbucket, m) AS pb
+  FROM qb, (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) t(m)
+),
+cand AS (SELECT b.vec_id, b.v FROM b JOIN probes ON b.bucket = probes.pb)
+SELECT vec_id, round({_COS.format(a="e.v", b="q.qv")}, 4) AS cosine
+FROM cand e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+        "emb_near_dup": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 4) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) t WHERE cosine >= 0.4
+""",
+        "emb_near_dup_lsh": f"""
+WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v, {bucket_v.replace("e.v", "e0.v")} AS bucket FROM e0)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos_ab}, 4) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) t WHERE cosine >= 0.4
+""",
+        # no oracle entries (rows-only checks, genuinely non-SQL):
+        # - dedup_simhash, text_fingerprint: xxhash64-based (JVM hash)
+        # - multimodal_*: binary payload plumbing via mapInPandas
+    }

@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs (a) the headline CDC ingest — a deterministically generated changelog
+replayed end-to-end through collapse + fenced MERGE into a fresh lake table
+— and (b) the per-query suite from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "ingest": {"n_events": N, "events_per_sec": X, "wall_sec": S}, ...}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      sf dir for the query suite (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[] parallelism (default 32)
+  SPARK_GRAFT_BENCH_EVENTS  changelog size for the ingest bench (default 2_000_000)
+  SPARK_GRAFT_BENCH_MODE  all | ingest | queries (default all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mysql_binlog_spark.changelog.generator import ChangelogSpec, write_events_parquet
+from mysql_binlog_spark.engine.pipeline import run_ingest
+from mysql_binlog_spark.lake.table import LakeTable
+from mysql_binlog_spark.session import get_spark
+
+# headline per-query suite (subset of __spark_entry__.queries() that is
+# meaningful to time; the epoch/streaming variants are covered by the
+# ingest benchmark itself)
+BENCH_QUERIES = [
+    "cdc_collapse_latest",
+    "cdc_net_effect",
+    "cdc_snapshot",
+    "cdc_epoch_metrics",
+    "pricing_summary",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "user_sessions",
+    "text_token_stats",
+    "text_quality_langid",
+    "dedup_exact_groups",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_bruteforce_topk",
+    "sim_lsh_topk",
+    "emb_near_dup",
+    "emb_near_dup_lsh",
+]
+
+
+def ensure_changelog(n_events: int, seed: int = 42) -> str:
+    """Generate (once, cached) the deterministic bench changelog."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_changelog_{n_events}_{seed}.parquet"
+    )
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        write_events_parquet(
+            ChangelogSpec(n_events=n_events, seed=seed, n_repos=200),
+            tmp,
+            row_group_size=250_000,
+        )
+        os.replace(tmp, path)
+    return path
+
+
+def bench_ingest(spark, n_events: int) -> dict:
+    events_path = ensure_changelog(n_events)
+    lake_root = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        table = LakeTable(spark, lake_root, n_buckets=64)
+        t0 = time.monotonic()
+        report = run_ingest(
+            spark, events_path, table, epoch_size=max(n_events // 4, 1)
+        )
+        wall = time.monotonic() - t0
+        return {
+            "n_events": report.events_in,
+            "epochs": report.epochs_run,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(report.events_in / wall, 1) if wall else 0.0,
+        }
+    finally:
+        shutil.rmtree(lake_root, ignore_errors=True)
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        # noop sink forces full computation without materializing output
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
+
+    spark = get_spark("bench")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or sf_dir
+
+    result: dict = {"sf": sf, "cpus": cpus}
+    total = 0.0
+    if mode in ("all", "ingest"):
+        ingest = bench_ingest(spark, n_events)
+        result["ingest"] = ingest
+        result["events_per_sec"] = ingest["events_per_sec"]
+        total += ingest["wall_sec"]
+    if mode in ("all", "queries"):
+        queries = bench_queries(spark, sf_dir)
+        result["queries"] = queries
+        total += sum(queries.values())
+
+    result.update(
+        {
+            "metric": "cdc_replay_plus_query_suite_seconds",
+            "value": round(total, 3),
+            "unit": "sec",
+        }
+    )
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,8 +36,15 @@ def minhash_signatures(
     num_perm: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<string>[num_perm]) — md5-based minhash signature."""
-    shingles = word_shingles(text_col, k=shingle_k)
+    """(id, sig: array<string>[num_perm]) — md5-based minhash signature.
+
+    The shingle array is materialized in its own projection first so the
+    (expensive) tokenize+shingle subtree is evaluated once per row, not
+    re-inlined into all num_perm signature expressions.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k=shingle_k).alias("sh")
+    )
 
     # closure factory, NOT a default arg: transform() has an (elem, index)
     # 2-arg form, so `lambda s, p=p` would bind p to the index Column
@@ -46,13 +53,11 @@ def minhash_signatures(
 
     sig = F.array(
         *[
-            F.array_min(F.transform(shingles, perm_hash(p))).alias(f"mh{p}")
+            F.array_min(F.transform(F.col("sh"), perm_hash(p))).alias(f"mh{p}")
             for p in range(num_perm)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig")).filter(
-        F.size("sig") > 0
-    )
+    return shingled.select("id", sig.alias("sig")).filter(F.size("sig") > 0)
 
 
 def lsh_candidate_pairs(
