@@ -28,7 +28,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mysql_binlog_spark.changelog.generator import ChangelogSpec, write_events_parquet
+from mysql_binlog_spark.changelog.generator import (
+    ChangelogSpec,
+    write_events_parquet_dir,
+)
 from mysql_binlog_spark.engine.pipeline import run_ingest
 from mysql_binlog_spark.lake.table import LakeTable
 from mysql_binlog_spark.session import get_spark
@@ -61,27 +64,38 @@ BENCH_QUERIES = [
 def ensure_changelog(n_events: int, seed: int = 42) -> str:
     """Generate (once, cached) the deterministic bench changelog."""
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_changelog_{n_events}_{seed}.parquet"
+        tempfile.gettempdir(), f"spark_graft_changelog_{n_events}_{seed}"
     )
     if not os.path.exists(path):
         tmp = path + ".tmp"
-        write_events_parquet(
-            ChangelogSpec(n_events=n_events, seed=seed, n_repos=200),
-            tmp,
-            row_group_size=250_000,
+        write_events_parquet_dir(
+            ChangelogSpec(n_events=n_events, seed=seed, n_repos=200), tmp
         )
         os.replace(tmp, path)
     return path
 
 
-def bench_ingest(spark, n_events: int) -> dict:
+def _warmup(spark, events_path: str) -> None:
+    """Absorb JIT/codegen compilation before timing: run a mini ingest of
+    the first events into a scratch table. Cold first-query runs are 2-5x
+    slower than steady state and would understate throughput."""
+    scratch = tempfile.mkdtemp(prefix="bench_warm_")
+    try:
+        table = LakeTable(spark, scratch, n_buckets=8)
+        run_ingest(spark, events_path, table, epoch_size=100_000, max_seq=99_999)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def bench_ingest(spark, n_events: int, epochs: int = 4) -> dict:
     events_path = ensure_changelog(n_events)
+    _warmup(spark, events_path)
     lake_root = tempfile.mkdtemp(prefix="bench_lake_")
     try:
         table = LakeTable(spark, lake_root, n_buckets=64)
         t0 = time.monotonic()
         report = run_ingest(
-            spark, events_path, table, epoch_size=max(n_events // 4, 1)
+            spark, events_path, table, epoch_size=max(n_events // epochs, 1)
         )
         wall = time.monotonic() - t0
         return {
@@ -112,6 +126,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
+    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
 
     spark = get_spark("bench")
@@ -120,7 +135,7 @@ def main() -> None:
     result: dict = {"sf": sf, "cpus": cpus}
     total = 0.0
     if mode in ("all", "ingest"):
-        ingest = bench_ingest(spark, n_events)
+        ingest = bench_ingest(spark, n_events, epochs=n_epochs)
         result["ingest"] = ingest
         result["events_per_sec"] = ingest["events_per_sec"]
         total += ingest["wall_sec"]

@@ -240,3 +240,44 @@ def write_events_parquet(
             w.write_batch(batch)
             n += batch.num_rows
     return n
+
+
+def write_events_parquet_dir(
+    spec: ChangelogSpec,
+    out_dir: str,
+    events_per_file: int = 125_000,
+    row_group_size: int = 31_250,
+) -> int:
+    """Stream events to a DIRECTORY of seq-ordered parquet files.
+
+    This is the realistic landing shape (compacted binlog chunks arriving on
+    shared storage, reference common/client/cfs.go:39-171) and what the scan
+    parallelism needs: one ~10-25 MB file per chunk lets Spark assign one
+    task per file instead of serializing a single big file onto 2-3 tasks.
+    Small row groups keep seq min/max stats tight for per-epoch pruning.
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    file_idx = 0
+    writer: pq.ParquetWriter | None = None
+    in_file = 0
+    for batch in iter_event_batches(spec, batch_size=row_group_size):
+        if writer is None:
+            writer = pq.ParquetWriter(
+                os.path.join(out_dir, f"part-{file_idx:05d}.parquet"),
+                EVENT_SCHEMA,
+                compression="zstd",
+            )
+        writer.write_batch(batch)
+        n += batch.num_rows
+        in_file += batch.num_rows
+        if in_file >= events_per_file:
+            writer.close()
+            writer = None
+            in_file = 0
+            file_idx += 1
+    if writer is not None:
+        writer.close()
+    return n

@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysql_binlog_spark.functions.text import word_shingles
+from mysql_binlog_spark.functions.text import tokens_expr, word_shingles_from_tokens
+from mysql_binlog_spark.util import spread
 
 
 def ngram_jaccard_pairs(
@@ -24,9 +25,13 @@ def ngram_jaccard_pairs(
     max_doc_freq: int = 1000,
 ) -> DataFrame:
     """(id_a < id_b, jaccard) for pairs with jaccard >= threshold."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, k)).alias("shingle"),
+    # tokens materialized first — see word_shingles_from_tokens' perf contract
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
+    )
+    sh = toked.select(
+        "id",
+        F.explode(word_shingles_from_tokens(F.col("tk"), k)).alias("shingle"),
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
 

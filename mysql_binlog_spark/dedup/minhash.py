@@ -26,7 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mysql_binlog_spark.functions.text import word_shingles
+from mysql_binlog_spark.functions.text import tokens_expr, word_shingles_from_tokens
+from mysql_binlog_spark.util import spread
 
 
 def minhash_signatures(
@@ -38,26 +39,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<string>[num_perm]) — md5-based minhash signature.
 
-    The shingle array is materialized in its own projection first so the
-    (expensive) tokenize+shingle subtree is evaluated once per row, not
-    re-inlined into all num_perm signature expressions.
+    Tokens and shingles are each materialized in their own projection so
+    every downstream lambda captures a cheap column attribute: HOF lambdas
+    re-evaluate captured subtrees per array element, so inlining the
+    tokenizer here would re-tokenize each doc O(shingles x num_perm) times.
     """
-    shingled = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k=shingle_k).alias("sh")
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
     )
-
-    # closure factory, NOT a default arg: transform() has an (elem, index)
-    # 2-arg form, so `lambda s, p=p` would bind p to the index Column
-    def perm_hash(p: int):
-        return lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("sh"), perm_hash(p))).alias(f"mh{p}")
-            for p in range(num_perm)
-        ]
+    shingled = toked.select(
+        "id", word_shingles_from_tokens(F.col("tk"), k=shingle_k).alias("sh")
     )
-    return shingled.select("id", sig.alias("sig")).filter(F.size("sig") > 0)
+    # explode + num_perm min-aggregates instead of per-row
+    # array_min(transform(...)): the md5s run inside whole-stage codegen
+    # (HOF lambdas are interpreted — ~10x slower for the same hash count),
+    # and partial aggregation keeps the shuffle at <=1 row per doc per
+    # partition. Docs with no shingles (len < k tokens) drop out here.
+    ex = shingled.select("id", F.explode("sh").alias("s"))
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{p}:"), F.col("s")))).alias(f"mh{p}")
+        for p in range(num_perm)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select(
+        "id", F.array(*[f"mh{p}" for p in range(num_perm)]).alias("sig")
+    )
 
 
 def lsh_candidate_pairs(

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.functions.text import tokens_expr
+from mysql_binlog_spark.util import spread
 
 
 def token_hashes(text: Column | str, weighted: bool = True) -> Column:
@@ -84,7 +85,7 @@ def simhash_near_dup_pairs(
     Blocking: 4 x 16-bit chunks — any pair within Hamming distance 3 shares
     at least one intact chunk (pigeonhole), so recall is exact for k <= 3.
     """
-    hashed = df.select(
+    hashed = spread(df, id_col).select(
         F.col(id_col).alias("id"), token_hashes(text_col).alias("hs")
     )
     sh = hashed.select("id", simhash_from_hashes(F.col("hs")).alias("sh"))

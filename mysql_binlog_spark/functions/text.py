@@ -87,9 +87,16 @@ def lang_id(text: Column | str) -> Column:
     return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
-def word_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-word shingles (the MinHash/Jaccard unit), distinct."""
-    toks = tokens_expr(text)
+def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles (distinct) from an ALREADY-MATERIALIZED tokens column.
+
+    Performance contract: ``toks`` must be a plain column attribute, not an
+    expression subtree. Higher-order-function lambdas re-evaluate captured
+    subtrees PER ARRAY ELEMENT (no common-subexpression elimination in the
+    interpreted HOF path), so shingling over an inline ``tokens_expr(text)``
+    re-tokenizes the document k times per shingle — O(len^2) per row.
+    Pipelines materialize tokens in their own projection first.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)) - 0)
     shingle = lambda i: F.concat_ws(  # noqa: E731
@@ -98,6 +105,15 @@ def word_shingles(text: Column | str, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(F.transform(idx, shingle))).otherwise(
         F.array()
     )
+
+
+def word_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-word shingles (the MinHash/Jaccard unit), distinct.
+
+    Convenience form; hot paths should tokenize into a column first and use
+    ``word_shingles_from_tokens`` (see its performance contract).
+    """
+    return word_shingles_from_tokens(tokens_expr(text), k)
 
 
 def char_ngrams(text: Column | str, n: int = 5) -> Column:

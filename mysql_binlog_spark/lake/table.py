@@ -216,7 +216,10 @@ class LakeTable:
         if epoch in manifest.get("epochs_applied", []):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
 
-        batch = batch.withColumn("bucket", bucket_expr(self.n_buckets))
+        # persist: the batch feeds two actions (stats aggregation + the
+        # bucket rewrite) — without this the whole upstream collapse runs
+        # twice per epoch
+        batch = batch.withColumn("bucket", bucket_expr(self.n_buckets)).persist()
 
         # rows_in = number of underlying change events when the batch is a
         # collapse output (it carries n_events per key); else keys in batch.
@@ -236,6 +239,7 @@ class LakeTable:
         )
         if not stats:
             # empty epoch still commits (advances the fence)
+            batch.unpersist()
             manifest = self._next_manifest(manifest, epoch, {}, [])
             self._commit(manifest)
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
@@ -262,6 +266,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(stage)
         )
+        batch.unpersist()
 
         # Discover written files per bucket (driver-side listing of the
         # staging dir only — O(touched buckets), not O(table)).
