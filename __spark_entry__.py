@@ -453,6 +453,38 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (SURVEY §2.4 A3 / §2.9 T1): tumbling-window
+    aggregation over event time — the Spark analog of the reference's
+    per-granularity flush cascade (backup/handler/merge.go:862-917)."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            # string-cast so the cross-engine compare is representation-safe
+            F.col("w.start").cast("string").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from mysql_binlog_spark.similarity.ann import ivf_build_centroids, ivf_topk
+
+    e = _emb_double(spark, sf_dir)
+    cents = ivf_build_centroids(e, n_cells=8)
+    return ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, nprobe=3)
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -576,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": q_nation_revenue,
         "top_orders_per_customer": q_top_orders_per_customer,
         "user_sessions": q_user_sessions,
+        "events_hourly_rollup": q_events_hourly_rollup,
         # --- text analysis ---
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
@@ -589,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- multimodal plumbing (mapInPandas; stubbed codec) ---
@@ -701,6 +735,12 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
   FROM orders) t
 WHERE rk <= 3
+""",
+        "events_hourly_rollup": """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
 """,
         "user_sessions": """
 SELECT user_id, count(*) AS n_events,

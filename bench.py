@@ -108,6 +108,31 @@ def bench_ingest(spark, n_events: int, epochs: int = 4) -> dict:
         shutil.rmtree(lake_root, ignore_errors=True)
 
 
+def bench_replay(spark, n_events: int) -> dict:
+    """Pure bounded replay (the reference `merge` binary analog): changelog
+    -> rename expansion -> per-key collapse -> final snapshot, no lake
+    writes. This is the compute core of the engine."""
+    from mysql_binlog_spark.operators.collapse import snapshot_from_events
+
+    events_path = ensure_changelog(n_events)
+    ev = spark.read.parquet(events_path)
+    # warmup (JIT) on a prefix
+    from pyspark.sql import functions as F
+
+    snapshot_from_events(ev.filter(F.col("seq") < 100_000)).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    t0 = time.monotonic()
+    snapshot_from_events(ev).write.format("noop").mode("overwrite").save()
+    wall = time.monotonic() - t0
+    n = ev.count()
+    return {
+        "n_events": n,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n / wall, 1) if wall else 0.0,
+    }
+
+
 def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
@@ -139,6 +164,11 @@ def main() -> None:
         result["ingest"] = ingest
         result["events_per_sec"] = ingest["events_per_sec"]
         total += ingest["wall_sec"]
+    if mode == "replay":
+        replay = bench_replay(spark, n_events)
+        result["replay"] = replay
+        result["events_per_sec"] = replay["events_per_sec"]
+        total += replay["wall_sec"]
     if mode in ("all", "queries"):
         queries = bench_queries(spark, sf_dir)
         result["queries"] = queries

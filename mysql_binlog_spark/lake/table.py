@@ -245,24 +245,53 @@ class LakeTable:
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         touched = sorted(int(r["bucket"]) for r in stats)
-        drop_cols = ["op"] + (["n_events"] if "n_events" in batch.columns else [])
-        upserts = batch.filter(F.col("op") != "D").drop(*drop_cols)
-        batch_keys = batch.select("bucket", *KEY_COLS)
 
         state = self.read_state(buckets=touched)
         state = state.withColumn("bucket", bucket_expr(self.n_buckets))
 
-        # COW per bucket: survivors (state keys not in batch) + upserts.
-        # Anti-join is bucket-local by construction; Catalyst shuffles both
-        # sides on the key — on a real cluster, bucketed table layout makes
-        # this a co-located join.
-        survivors = state.join(batch_keys, on=["bucket", *KEY_COLS], how="left_anti")
-        new_state = survivors.unionByName(upserts, allowMissingColumns=True)
+        # COW per bucket as ONE union + per-key merge, single shuffle:
+        # state rows join the batch at priority 0 (op 'U' — an existing
+        # image), batch rows (incl. 'D' tombstones) at priority 1; after
+        # repartition("bucket") the groupBy(bucket, key) needs NO further
+        # exchange (hash partitioning on a subset of the grouping keys
+        # satisfies ClusteredDistribution), and the winner-per-key pick is
+        # the same collapse primitive as the engine core. Replaces the
+        # previous anti-join formulation, which shuffled the state twice
+        # (once on the join keys, again on bucket for the write).
+        prep_state = state.withColumn("op", F.lit("U")).withColumn(
+            "_pri", F.lit(0)
+        )
+        prep_batch = batch.drop("n_events").withColumn("_pri", F.lit(1))
+        src = prep_state.unionByName(prep_batch, allowMissingColumns=True)
+        data_cols = [
+            c for c in src.columns if c not in ("bucket", "_pri", *KEY_COLS)
+        ]
+        merged = (
+            src.repartition(max(len(touched), 1), "bucket")
+            .groupBy("bucket", *KEY_COLS)
+            .agg(
+                F.max_by(
+                    F.struct(*data_cols), F.struct(F.col("_pri"), F.col("seq"))
+                ).alias("_w")
+            )
+        )
+        new_state = (
+            merged.filter(F.col("_w.op") != "D")
+            .select(
+                "bucket",
+                *KEY_COLS,
+                *[
+                    F.col(f"_w.{c}").alias(c)
+                    for c in data_cols
+                    if c != "op"
+                ],
+            )
+        )
 
         stage = os.path.join(self.root, "data", f"epoch{epoch:06d}-{uuid.uuid4().hex[:8]}")
+        # already hash-partitioned by bucket from the merge — write directly
         (
-            new_state.repartition(max(len(touched), 1), "bucket")
-            .write.partitionBy("bucket")
+            new_state.write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(stage)
         )

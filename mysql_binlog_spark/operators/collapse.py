@@ -60,59 +60,51 @@ def expand_renames(events: DataFrame) -> DataFrame:
     before_content, new_path). Output adds ``sub`` (0/1) and drops
     ``new_path``; every row now targets exactly one (repo, path).
 
-    Implemented as a generator expression (explode over a 1- or 2-element
-    array) so it stays inside whole-stage codegen — no shuffle, no Python.
+    Implemented as filter + unionByName (3 narrow codegen'd branches over
+    the same scan) rather than explode-over-array: renames are a small
+    fraction of the stream, and the union form avoids allocating an
+    array-of-struct per event — measurably faster at 10^7+ events, and
+    Catalyst pushes the rename predicate into all three parquet scans.
     """
     is_rename = F.col("new_path").isNotNull() & (F.col("op") == "U")
-    parts = F.when(
-        is_rename,
-        F.array(
-            # D half targets the OLD key and owns the before-image
-            F.struct(
-                F.col("path").alias("path"),
-                F.lit("D").alias("op"),
-                F.lit(0).alias("sub"),
-                F.lit(None).cast("string").alias("commit_"),
-                F.lit(None).cast("string").alias("lang_"),
-                F.lit(None).cast("string").alias("content_"),
-                F.col("before_content").alias("before_"),
-            ),
-            # I half targets the NEW key — a fresh insert, no before-image
-            F.struct(
-                F.col("new_path").alias("path"),
-                F.lit("I").alias("op"),
-                F.lit(1).alias("sub"),
-                F.col("commit").alias("commit_"),
-                F.col("lang").alias("lang_"),
-                F.col("content").alias("content_"),
-                F.lit(None).cast("string").alias("before_"),
-            ),
-        ),
-    ).otherwise(
-        F.array(
-            F.struct(
-                F.col("path").alias("path"),
-                F.col("op").alias("op"),
-                F.lit(0).alias("sub"),
-                F.col("commit").alias("commit_"),
-                F.col("lang").alias("lang_"),
-                F.col("content").alias("content_"),
-                F.col("before_content").alias("before_"),
-            )
-        )
-    )
-    exploded = events.select("seq", "repo", F.explode(parts).alias("p"))
-    return exploded.select(
+    null_s = F.lit(None).cast("string")
+    plain = events.filter(~is_rename).select(
         "seq",
-        F.col("p.sub").alias("sub"),
+        F.lit(0).alias("sub"),
         "repo",
-        F.col("p.path").alias("path"),
-        F.col("p.op").alias("op"),
-        F.col("p.commit_").alias("commit"),
-        F.col("p.lang_").alias("lang"),
-        F.col("p.content_").alias("content"),
-        F.col("p.before_").alias("before_content"),
+        "path",
+        "op",
+        "commit",
+        "lang",
+        "content",
+        "before_content",
     )
+    renames = events.filter(is_rename)
+    # D half targets the OLD key and owns the before-image
+    d_half = renames.select(
+        "seq",
+        F.lit(0).alias("sub"),
+        "repo",
+        "path",
+        F.lit("D").alias("op"),
+        null_s.alias("commit"),
+        null_s.alias("lang"),
+        null_s.alias("content"),
+        F.col("before_content").alias("before_content"),
+    )
+    # I half targets the NEW key — a fresh insert, no before-image
+    i_half = renames.select(
+        "seq",
+        F.lit(1).alias("sub"),
+        "repo",
+        F.col("new_path").alias("path"),
+        F.lit("I").alias("op"),
+        "commit",
+        "lang",
+        "content",
+        null_s.alias("before_content"),
+    )
+    return plain.unionByName(d_half).unionByName(i_half)
 
 
 def collapse_latest(norm: DataFrame) -> DataFrame:
