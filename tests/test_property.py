@@ -1,0 +1,94 @@
+"""Property-based checks: for RANDOM changelog shapes (op mix, skew,
+evolution point, seed), the Spark collapse must equal the sequential pandas
+oracle — the two implementations share no code (SURVEY.md §5 strategy #2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from mysql_binlog_spark.changelog import ChangelogSpec
+from mysql_binlog_spark.changelog.generator import generate_events_pandas
+from mysql_binlog_spark.changelog.oracle import oracle_snapshot_from_pandas
+from mysql_binlog_spark.operators.collapse import (
+    collapse_net_effect,
+    expand_renames,
+    snapshot_from_events,
+)
+
+SNAP_COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+def _spec(seed: int, n: int, p_del: float, p_ren: float, hot: float) -> ChangelogSpec:
+    return ChangelogSpec(
+        n_events=n,
+        seed=seed,
+        n_repos=7,
+        p_insert=0.45,
+        p_update=1.0 - 0.45 - p_del - p_ren,
+        p_delete=p_del,
+        p_rename=p_ren,
+        hot_weight=hot,
+        evolution_frac=0.4,
+    )
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(300, 1500),
+    p_del=st.floats(0.05, 0.3),
+    p_ren=st.floats(0.0, 0.15),
+    hot=st.floats(0.5, 0.95),
+)
+def test_snapshot_matches_sequential_oracle(spark, seed, n, p_del, p_ren, hot):
+    ev = generate_events_pandas(_spec(seed, n, p_del, p_ren, hot))
+    sdf = spark.createDataFrame(ev)
+    got = (
+        snapshot_from_events(sdf)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(300, 1000))
+def test_net_effect_consistent_with_snapshot(spark, seed, n):
+    """A2 net-op typing must agree with A1 state: keys with net_op='D'
+    are absent from the snapshot; every live snapshot key carries the same
+    last image in the net-change stream; annihilated keys appear in
+    neither."""
+    ev = generate_events_pandas(_spec(seed, n, 0.2, 0.1, 0.8))
+    sdf = spark.createDataFrame(ev)
+    net = collapse_net_effect(expand_renames(sdf)).toPandas()
+    snap = snapshot_from_events(sdf).toPandas()
+
+    net_keys_live = {
+        (r.repo, r.path) for r in net.itertuples() if r.net_op != "D"
+    }
+    snap_keys = {(r.repo, r.path) for r in snap.itertuples()}
+    assert net_keys_live == snap_keys
+
+    content_net = {
+        (r.repo, r.path): r.content for r in net.itertuples() if r.net_op != "D"
+    }
+    content_snap = {(r.repo, r.path): r.content for r in snap.itertuples()}
+    assert content_net == content_snap
+
+    # net_op='I' keys must have had no prior live image: their first op is I
+    # (by construction net_op='I' iff first_op == 'I' and not annihilated)
+    for r in net.itertuples():
+        assert r.net_op in ("I", "U", "D")
