@@ -453,6 +453,38 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_binlog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/C1 analog: render the collapsed final state as replayable
+    ``BINLOG '<76-char-line base64>';`` statements (reference
+    common/utils/encode.go:96-149, recover/res/resume.go:592-747)."""
+    from mysql_binlog_spark.functions.codec import binlog_statement
+
+    snap = snapshot_from_events(_changelog_df(spark, sf_dir))
+    return snap.select(
+        "repo", "path", binlog_statement(F.col("content")).alias("stmt")
+    )
+
+
+def q_cdc_decode_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: vectorized Arrow decode of PACKED binary change records
+    (mapInPandas batch decode), then the standard collapse. Returns the
+    same snapshot as cdc_snapshot — proving the packed path is lossless."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_spark.sources.binlog_codec import (
+        decode_packed_events,
+        encode_packed_events,
+    )
+
+    pdf = _changelog_df(spark, sf_dir).toPandas()
+    packed = encode_packed_events(pdf)
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_packed_"), "packed.parquet")
+    pq.write_table(pa.Table.from_pandas(packed, preserve_index=False), path)
+    decoded = decode_packed_events(spark.read.parquet(path))
+    return snapshot_from_events(decoded)
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup (SURVEY §2.4 A3 / §2.9 T1): tumbling-window
     aggregation over event time — the Spark analog of the reference's
@@ -603,6 +635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recover_snapshot": q_cdc_recover_snapshot,
         "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
+        "cdc_binlog_export": q_cdc_binlog_export,
+        "cdc_decode_packed": q_cdc_decode_packed,
         # --- relational coverage (scan/filter/agg/join/window) ---
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -704,6 +738,14 @@ SELECT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT) AS epoch,
 FROM ranked WHERE rn = 1 GROUP BY 1
 """,
         "cdc_streaming_ingest": _SNAPSHOT_SQL,
+        "cdc_binlog_export": _CDC_PREFIX
+        + """
+SELECT repo, path,
+       'BINLOG ''' || regexp_replace(to_base64(encode(content)),
+                                     '(.{76})', '\\1\n', 'g') || ''';' AS stmt
+FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        "cdc_decode_packed": _SNAPSHOT_SQL,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

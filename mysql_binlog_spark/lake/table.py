@@ -161,16 +161,26 @@ class LakeTable:
             files.extend(bmap.get(k, []))
         return files
 
-    def read_state(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state (optionally only the given buckets).
+    def read_state(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Table state (optionally only the given buckets).
+
+        ``version`` gives Iceberg-style time travel: read any committed
+        snapshot by its version id (manifests are immutable; the current
+        pointer only selects the default).
 
         Reads by explicit live-file list from the committed manifest (never
         by directory listing), with the manifest's schema imposed so files
         written before an additive column evolution surface it as NULL —
         Iceberg-style schema-on-read.
         """
-        manifest = self.read_manifest()
-        schema = self.schema()
+        manifest = self.read_manifest(version)
+        schema = (
+            T.StructType.fromJson(manifest["schema"])
+            if manifest["schema"]
+            else None
+        )
         files = self._bucket_files(manifest, buckets)
         if not files or schema is None:
             if schema is None:
@@ -343,6 +353,35 @@ class LakeTable:
             rows_del,
             int((time.monotonic() - t0) * 1000),
         )
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files not referenced by the newest ``keep_versions``
+        manifests, and drop older manifests — the analog of the reference's
+        rolling tar consolidation + cleanup (common/client/cfs.go:84-171).
+        Never touches files a retained snapshot can still read, so time
+        travel within the retention window stays valid."""
+        cur = self.current_version()
+        keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep:
+            m = self.read_manifest(v)
+            for files in m["buckets"].values():
+                live.update(files)
+        removed: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".parquet") and p not in live:
+                    os.remove(p)
+                    removed.append(p)
+        for v in range(1, cur + 1):
+            if v not in keep:
+                try:
+                    os.remove(self._manifest_path(v))
+                except FileNotFoundError:
+                    pass
+        return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
         """Additive-only schema evolution (SURVEY §2.9 T8): existing columns

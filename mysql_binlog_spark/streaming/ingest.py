@@ -24,15 +24,9 @@ from __future__ import annotations
 
 from pyspark.sql import SparkSession
 
-from mysql_binlog_spark.changelog.generator import EVENT_SCHEMA
 from mysql_binlog_spark.lake.table import LakeTable
 from mysql_binlog_spark.operators.collapse import collapse_latest, expand_renames
-
-# pyarrow schema -> spark DDL for the file-stream reader
-_SPARK_DDL = (
-    "seq long, repo string, path string, op string, commit string, "
-    "lang string, content string, before_content string, new_path string"
-)
+from mysql_binlog_spark.sources.changelog_source import read_changelog_stream
 
 
 def stream_ingest(
@@ -49,11 +43,7 @@ def stream_ingest(
     stops (bounded run — the `merge` binary analog); False keeps tailing
     (the `backup` binary analog).
     """
-    src = (
-        spark.readStream.schema(_SPARK_DDL)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .parquet(events_dir)
-    )
+    src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):
         batch = collapse_latest(expand_renames(batch_df))
