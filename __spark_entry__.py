@@ -453,6 +453,27 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_repo_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 skew pattern: hot-repo aggregation via two-stage salted groupBy —
+    partial per (repo, salt), then final per repo. Result is identical to a
+    direct GROUP BY (the oracle); the shape is what survives a repo whose
+    event count dwarfs the others (reference bottleneck:
+    backup/handler/merge.go:236-238, one goroutine per table)."""
+    from mysql_binlog_spark.operators.collapse import with_salt
+
+    norm = with_salt(expand_renames(_changelog_df(spark, sf_dir)), n_salts=16)
+    partial = norm.groupBy("repo", "salt").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("seq").alias("_mx"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("_d"),
+    )
+    return partial.groupBy("repo").agg(
+        F.sum("_n").alias("n_events"),
+        F.max("_mx").alias("hwm_seq"),
+        F.sum("_d").alias("n_deletes"),
+    )
+
+
 def q_cdc_binlog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8/C1 analog: render the collapsed final state as replayable
     ``BINLOG '<76-char-line base64>';`` statements (reference
@@ -635,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recover_snapshot": q_cdc_recover_snapshot,
         "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
+        "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
         # --- relational coverage (scan/filter/agg/join/window) ---
@@ -738,6 +760,11 @@ SELECT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT) AS epoch,
 FROM ranked WHERE rn = 1 GROUP BY 1
 """,
         "cdc_streaming_ingest": _SNAPSHOT_SQL,
+        "cdc_repo_stats_salted": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}
+SELECT repo, count(*) AS n_events, max(seq) AS hwm_seq,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM normalized GROUP BY repo
+""",
         "cdc_binlog_export": _CDC_PREFIX
         + """
 SELECT repo, path,
