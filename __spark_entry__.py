@@ -506,6 +506,30 @@ def q_cdc_decode_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_from_events(decoded)
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 analog (JSONB -> JSON decode, reference json_binary.go): parse the
+    JSON props column with the built-in schema-full from_json and aggregate
+    on the extracted field — JVM-side, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+def q_events_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 analog (db/table regex selection, reference cfs.go:332-362):
+    rlike predicate over the derived changelog's repo/path."""
+    ch = _changelog_df(spark, sf_dir)
+    return (
+        ch.filter(F.col("repo").rlike("^r[0-3]$") & F.col("path").rlike("p\\d*[02468]$"))
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.countDistinct("path").alias("n_paths"))
+    )
+
+
 def q_events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-resolution rollup (SURVEY §2.4 A3 / §2.9 T1): tumbling-window
     aggregation over event time — the Spark analog of the reference's
@@ -665,6 +689,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": q_top_orders_per_customer,
         "user_sessions": q_user_sessions,
         "events_hourly_rollup": q_events_hourly_rollup,
+        "events_json_props": q_events_json_props,
+        "events_filter_regex": q_events_filter_regex,
         # --- text analysis ---
         "text_token_stats": q_text_token_stats,
         "text_quality_langid": q_text_quality_langid,
@@ -804,6 +830,18 @@ SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
   FROM orders) t
 WHERE rk <= 3
+""",
+        "events_json_props": """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
+        "events_filter_regex": f"""WITH {_CHANGELOG_CTE}
+SELECT repo, count(*) AS n_events, count(DISTINCT path) AS n_paths
+FROM changelog
+WHERE regexp_matches(repo, '^r[0-3]$') AND regexp_matches(path, 'p\\d*[02468]$')
+GROUP BY repo
 """,
         "events_hourly_rollup": """
 SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_start, event_type,

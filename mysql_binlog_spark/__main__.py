@@ -1,0 +1,123 @@
+"""CLI — the reference's three binaries as subcommands.
+
+    python -m mysql_binlog_spark merge    --events E [--start S] [--stop T] --out DIR
+    python -m mysql_binlog_spark recover  --events E --table DIR [--epoch-size N]
+    python -m mysql_binlog_spark backup   --events-dir E --table DIR --checkpoint C [--continuous]
+    python -m mysql_binlog_spark snapshot --table DIR --out DIR [--version V]
+    python -m mysql_binlog_spark vacuum   --table DIR [--keep N]
+
+reference: backup/main.go:198-222 (tail+compact), merge/main.go:274-298
+(bounded range -> one output), recover/main.go:66-145 (replay to target).
+Run via spark-submit --py-files or plain python (local mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mysql_binlog_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("merge", help="bounded range -> one snapshot output")
+    m.add_argument("--events", required=True)
+    m.add_argument("--start", type=int, default=-1)
+    m.add_argument("--stop", type=int, default=None)
+    m.add_argument("--out", required=True)
+
+    r = sub.add_parser("recover", help="full replay into a lake table")
+    r.add_argument("--events", required=True)
+    r.add_argument("--table", required=True)
+    r.add_argument("--epoch-size", type=int, default=1_000_000)
+    r.add_argument("--n-buckets", type=int, default=64)
+
+    b = sub.add_parser("backup", help="stream-tail the changelog dir into the lake")
+    b.add_argument("--events-dir", required=True)
+    b.add_argument("--table", required=True)
+    b.add_argument("--checkpoint", required=True)
+    b.add_argument("--continuous", action="store_true")
+    b.add_argument("--max-files-per-trigger", type=int, default=4)
+    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--timeout-sec", type=int, default=300)
+
+    s = sub.add_parser("snapshot", help="export table state (optionally a past version)")
+    s.add_argument("--table", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--version", type=int, default=None)
+
+    v = sub.add_parser("vacuum", help="reclaim unreferenced snapshot files")
+    v.add_argument("--table", required=True)
+    v.add_argument("--keep", type=int, default=1)
+
+    args = p.parse_args(argv)
+
+    from mysql_binlog_spark.session import get_spark
+
+    spark = get_spark(f"mysql_binlog_spark-{args.cmd}")
+
+    if args.cmd == "merge":
+        from mysql_binlog_spark.operators.collapse import snapshot_from_events
+        from mysql_binlog_spark.sources.changelog_source import read_changelog_range
+
+        ev = read_changelog_range(spark, args.events, args.start, args.stop)
+        snapshot_from_events(ev).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "merge", "out": args.out}))
+
+    elif args.cmd == "recover":
+        from mysql_binlog_spark.engine.pipeline import recover
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table, n_buckets=args.n_buckets)
+        rep = recover(spark, args.events, t, epoch_size=args.epoch_size)
+        print(
+            json.dumps(
+                {
+                    "cmd": "recover",
+                    "epochs_run": rep.epochs_run,
+                    "epochs_skipped": rep.epochs_skipped,
+                    "events_in": rep.events_in,
+                    "events_per_sec": round(rep.events_per_sec, 1),
+                }
+            )
+        )
+
+    elif args.cmd == "backup":
+        from mysql_binlog_spark.lake.table import LakeTable
+        from mysql_binlog_spark.streaming import stream_ingest
+
+        t = LakeTable(spark, args.table, n_buckets=args.n_buckets)
+        q = stream_ingest(
+            spark,
+            args.events_dir,
+            t,
+            checkpoint_dir=args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.continuous,
+        )
+        q.awaitTermination(args.timeout_sec)
+        if args.continuous:
+            q.stop()
+        print(json.dumps({"cmd": "backup", "epochs": len(t.epochs_applied())}))
+
+    elif args.cmd == "snapshot":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        t.read_state(version=args.version).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"cmd": "snapshot", "out": args.out, "version": args.version}))
+
+    elif args.cmd == "vacuum":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        removed = t.vacuum(keep_versions=args.keep)
+        print(json.dumps({"cmd": "vacuum", "files_removed": len(removed)}))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

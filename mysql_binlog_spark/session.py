@@ -39,7 +39,12 @@ def get_spark(
     if master is None:
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # partition count should track DATA size, not core count — a fixed
+        # count gives every cluster size identical work chunks (and equal
+        # per-partition sort cost); default to cores only as a floor, let
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS pin it for scaling comparisons
+        env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        shuffle_partitions = int(env_sp) if env_sp else cpus
 
     builder = (
         SparkSession.builder.master(master)
