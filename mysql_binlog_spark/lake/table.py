@@ -95,6 +95,24 @@ class LakeTable:
         self.n_buckets = n_buckets
         os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        self._recover_orphans()
+
+    def _recover_orphans(self) -> None:
+        """Crash recovery at table open: a crash between manifest write and
+        pointer flip leaves manifests ABOVE the committed pointer. They were
+        never committed (the pointer flip is the linearization point), so
+        they are garbage — and they would collide with the next commit's
+        exclusive-create. Single-writer-per-table protocol, like the
+        reference's one-backup-process-per-instance."""
+        cur = self.current_version()
+        for fn in os.listdir(os.path.join(self.root, "_snapshots")):
+            if fn.startswith("v") and fn.endswith(".json"):
+                try:
+                    v = int(fn[1:-5])
+                except ValueError:
+                    continue
+                if v > cur:
+                    os.remove(os.path.join(self.root, "_snapshots", fn))
 
     # ---------------- snapshot / manifest plumbing ----------------
 
@@ -131,10 +149,15 @@ class LakeTable:
         The pointer flip (os.replace) is the single linearization point —
         the analog of the reference's LevelDB rename-swap
         (common/db/ldb.go:30-59). A crash anywhere before it leaves the
-        table at version N with orphan data files (harmless; vacuum-able).
+        table at version N with orphan data files (harmless; vacuum-able)
+        and possibly an orphan manifest (reclaimed at next open).
+
+        The manifest itself is created with O_EXCL: a second writer racing
+        to the same version fails loudly here (optimistic concurrency,
+        Iceberg-style) instead of silently dropping the other's commit.
         """
         v = manifest["version"]
-        with open(self._manifest_path(v), "w") as f:
+        with open(self._manifest_path(v), "x") as f:
             json.dump(manifest, f)
         tmp = self._current_path() + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -188,19 +211,27 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def _checkpoint_rows(self) -> list[dict]:
+        """All committed lineage rows: each manifest stores only ITS
+        epoch's rows (O(1) manifest size per commit instead of copying the
+        whole history — at 10^4 epochs the old scheme is O(epochs^2)
+        bytes); readers walk the committed chain."""
+        rows: list[dict] = []
+        for v in range(1, self.current_version() + 1):
+            rows.extend(self.read_manifest(v).get("checkpoints", []))
+        return rows
+
     def checkpoints(self) -> DataFrame:
         """Per-(epoch, bucket) lineage + metrics rows from committed
         snapshots only (uncommitted work is invisible, like status !=
         'success' rows in the reference's position table)."""
-        rows = []
-        m = self.read_manifest()
-        rows.extend(m.get("checkpoints", []))
-        return self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA)
+        return self.spark.createDataFrame(self._checkpoint_rows(), CHECKPOINT_SCHEMA)
 
     def high_watermark(self) -> int:
         """Max seq applied across committed epochs (-1 if empty)."""
-        m = self.read_manifest()
-        hwms = [c["hwm_seq"] for c in m.get("checkpoints", []) if c["hwm_seq"] is not None]
+        hwms = [
+            c["hwm_seq"] for c in self._checkpoint_rows() if c["hwm_seq"] is not None
+        ]
         return max(hwms) if hwms else -1
 
     # ---------------- MERGE (the upsert join, SURVEY §2.6 J1) ----------------
@@ -356,10 +387,13 @@ class LakeTable:
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
-        manifests, and drop older manifests — the analog of the reference's
-        rolling tar consolidation + cleanup (common/client/cfs.go:84-171).
-        Never touches files a retained snapshot can still read, so time
-        travel within the retention window stays valid."""
+        manifests — the analog of the reference's rolling tar consolidation
+        + cleanup (common/client/cfs.go:84-171). Never touches files a
+        retained snapshot can still read, so time travel within the
+        retention window stays valid. Manifests themselves are kept (they
+        are tiny and carry the per-epoch lineage chain); reading an expired
+        older version afterwards fails on its missing data files, exactly
+        like Iceberg after expire_snapshots."""
         cur = self.current_version()
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
         live: set[str] = set()
@@ -375,12 +409,6 @@ class LakeTable:
                 if fn.endswith(".parquet") and p not in live:
                     os.remove(p)
                     removed.append(p)
-        for v in range(1, cur + 1):
-            if v not in keep:
-                try:
-                    os.remove(self._manifest_path(v))
-                except FileNotFoundError:
-                    pass
         return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
@@ -415,5 +443,6 @@ class LakeTable:
             "epochs_applied": sorted(set(manifest.get("epochs_applied", [])) | {epoch}),
             "buckets": buckets,
             "schema": new_schema or manifest["schema"],
-            "checkpoints": list(manifest.get("checkpoints", [])) + cp_rows,
+            # delta only — readers walk the chain (see _checkpoint_rows)
+            "checkpoints": cp_rows,
         }

@@ -93,3 +93,75 @@ def test_schema_imposed_read(spark, tmp_path):
     assert "lang" in df.columns
     assert df.filter(df.lang.isNotNull()).count() == 0
     assert df.count() == 500
+
+
+def test_orphan_manifest_recovery(spark, tmp_path):
+    """A crash between manifest write and pointer flip leaves a manifest
+    above the pointer; reopening the table must reclaim it and the next
+    commit must succeed at that version."""
+    import json
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=1000, seed=15))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    run_ingest(spark, p, t, epoch_size=500)
+    cur = t.current_version()
+    # simulate the torn commit: manifest v(cur+1) exists, pointer not flipped
+    orphan = t._manifest_path(cur + 1)
+    with open(orphan, "w") as f:
+        json.dump({"version": cur + 1, "buckets": {}, "schema": None,
+                   "epochs_applied": [], "checkpoints": []}, f)
+
+    t2 = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    assert not os.path.exists(orphan), "orphan manifest must be reclaimed"
+    assert t2.current_version() == cur
+    # fresh events can still commit at version cur+1
+    ev2 = generate_events_pandas(ChangelogSpec(n_events=1500, seed=15))
+    p2 = str(tmp_path / "ev2.parquet")
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False), p2)
+    run_ingest(spark, p2, t2, epoch_size=500)
+    assert t2.current_version() == cur + 1
+
+
+def test_concurrent_commit_detected(spark, tmp_path):
+    """Two writers racing to the same version: the second exclusive-create
+    must fail loudly instead of silently overwriting."""
+    import json
+
+    import pytest
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=800, seed=16))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    run_ingest(spark, p, t, epoch_size=1000)
+    # a rival writer sneaks in manifest v(cur+1) AFTER our table object
+    # read its base manifest
+    cur = t.current_version()
+    with open(t._manifest_path(cur + 1), "w") as f:
+        json.dump({"version": cur + 1, "buckets": {}, "schema": None,
+                   "epochs_applied": [], "checkpoints": []}, f)
+    ev2 = generate_events_pandas(ChangelogSpec(n_events=1600, seed=16))
+    p2 = str(tmp_path / "ev2.parquet")
+    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False), p2)
+    with pytest.raises(FileExistsError):
+        run_ingest(spark, p2, t, epoch_size=1000)
+
+
+def test_checkpoint_chain_across_manifests(spark, tmp_path):
+    """Each manifest stores only its epoch's lineage rows; checkpoints()
+    walks the chain and must still see every epoch."""
+    ev = generate_events_pandas(ChangelogSpec(n_events=3000, seed=17))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    run_ingest(spark, p, t, epoch_size=1000)
+    cps = t.checkpoints().toPandas()
+    assert sorted(cps["epoch"].unique()) == [0, 1, 2]
+    assert t.high_watermark() == 2999
+    # per-manifest delta: the newest manifest holds only its own epoch
+    newest = t.read_manifest()
+    assert {c["epoch"] for c in newest["checkpoints"]} == {newest["epoch"]}
