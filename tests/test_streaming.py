@@ -57,3 +57,60 @@ def test_stream_ingest_matches_oracle(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     # multiple micro-batches actually ran
     assert len(table.epochs_applied()) >= 2
+
+
+def test_stream_ingest_continuous_tail(spark, tmp_path):
+    """`backup` analog: continuous (non-availableNow) tail — files landing
+    AFTER the stream starts are picked up and merged; state converges to
+    the oracle; the query is then stopped cleanly."""
+    import time
+
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=2000, seed=21, n_repos=6)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batches = list(iter_event_batches(spec, batch_size=500))
+    # first half is present at start
+    for i, b in enumerate(batches[:2]):
+        pq.write_table(
+            pa.Table.from_batches([b], schema=EVENT_SCHEMA),
+            str(events_dir / f"part-{i:04d}.parquet"),
+        )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    q = stream_ingest(
+        spark,
+        str(events_dir),
+        table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        available_now=False,
+    )
+    try:
+        # wait until the initial files are applied
+        deadline = time.time() + 120
+        while time.time() < deadline and table.high_watermark() < 999:
+            time.sleep(0.5)
+        assert table.high_watermark() == 999
+        # land the second half while the stream is live
+        for i, b in enumerate(batches[2:], start=2):
+            pq.write_table(
+                pa.Table.from_batches([b], schema=EVENT_SCHEMA),
+                str(events_dir / f"part-{i:04d}.parquet"),
+            )
+        while time.time() < deadline and table.high_watermark() < spec.n_events - 1:
+            time.sleep(0.5)
+        assert table.high_watermark() == spec.n_events - 1
+    finally:
+        q.stop()
+
+    ev_pandas = pa.Table.from_batches(batches, schema=EVENT_SCHEMA).to_pandas()
+    got = (
+        table_snapshot(table)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev_pandas)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
