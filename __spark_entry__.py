@@ -453,6 +453,16 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental changelog OUT of the lake: diff two committed snapshot
+    versions (v2 = first two epochs vs v5 = final) — the Iceberg
+    changelog-scan analog; equals the collapsed net effect of the epochs
+    in between."""
+    t = _resumed_table(spark, sf_dir)
+    v_new = t.current_version()
+    return t.diff(min(2, v_new), v_new)
+
+
 def q_cdc_repo_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 skew pattern: hot-repo aggregation via two-stage salted groupBy —
     partial per (repo, salt), then final per repo. Result is identical to a
@@ -680,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_recover_snapshot": q_cdc_recover_snapshot,
         "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
+        "cdc_version_diff": q_cdc_version_diff,
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
@@ -786,6 +797,32 @@ SELECT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT) AS epoch,
 FROM ranked WHERE rn = 1 GROUP BY 1
 """,
         "cdc_streaming_ingest": _SNAPSHOT_SQL,
+        "cdc_version_diff": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE},
+old_r AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC, sub DESC) AS rn
+  FROM normalized WHERE seq <= {2 * _EPOCH_SIZE - 1}
+),
+old_s AS (SELECT repo, path, seq, content FROM old_r WHERE rn = 1 AND op <> 'D'),
+new_r AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC, sub DESC) AS rn
+  FROM normalized
+),
+new_s AS (SELECT repo, path, seq, content, "commit" FROM new_r
+          WHERE rn = 1 AND op <> 'D')
+SELECT COALESCE(o.repo, n.repo) AS repo,
+       COALESCE(o.path, n.path) AS path,
+       CASE WHEN o.repo IS NULL THEN 'I'
+            WHEN n.repo IS NULL THEN 'D'
+            ELSE 'U' END AS diff_op,
+       o.content AS old_content,
+       n.content AS new_content,
+       n."commit" AS new_commit
+FROM old_s o FULL OUTER JOIN new_s n
+  ON o.repo = n.repo AND o.path = n.path
+WHERE o.repo IS NULL OR n.repo IS NULL OR o.seq <> n.seq
+""",
         "cdc_repo_stats_salted": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}
 SELECT repo, count(*) AS n_events, max(seq) AS hwm_seq,
        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes

@@ -389,6 +389,42 @@ class LakeTable:
             int((time.monotonic() - t0) * 1000),
         )
 
+    def diff(self, v_old: int, v_new: int) -> DataFrame:
+        """Net change set between two committed snapshots — the Iceberg
+        changelog-scan analog (CDC OUT of the lake): one row per key whose
+        state differs, typed I (new key) / D (gone key) / U (image
+        changed). Equals the collapsed net effect of all epochs in between,
+        so incremental consumers can replay diffs instead of full states.
+
+        Full outer join on the key; 'unchanged' keys (same seq) drop out.
+        At scale both sides are bucket-partitioned on the same key hash, so
+        the join co-locates under the bucketed layout.
+        """
+        old = self.read_state(version=v_old).select(
+            *KEY_COLS, F.struct("*").alias("_o")
+        )
+        new = self.read_state(version=v_new).select(
+            *KEY_COLS, F.struct("*").alias("_n")
+        )
+        j = old.join(new, on=KEY_COLS, how="full_outer")
+        diff_op = (
+            F.when(F.col("_o").isNull(), F.lit("I"))
+            .when(F.col("_n").isNull(), F.lit("D"))
+            .when(F.col("_o.seq") != F.col("_n.seq"), F.lit("U"))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return (
+            j.withColumn("diff_op", diff_op)
+            .filter(F.col("diff_op").isNotNull())
+            .select(
+                *KEY_COLS,
+                "diff_op",
+                F.col("_o.content").alias("old_content"),
+                F.col("_n.content").alias("new_content"),
+                F.col("_n.commit").alias("new_commit"),
+            )
+        )
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
         manifests — the analog of the reference's rolling tar consolidation

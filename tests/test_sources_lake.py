@@ -165,3 +165,32 @@ def test_checkpoint_chain_across_manifests(spark, tmp_path):
     # per-manifest delta: the newest manifest holds only its own epoch
     newest = t.read_manifest()
     assert {c["epoch"] for c in newest["checkpoints"]} == {newest["epoch"]}
+
+
+def test_version_diff(spark, tmp_path):
+    """diff(v_old, v_new) emits exactly the keys whose state changed,
+    typed I/U/D, matching a brute-force comparison of the two snapshots."""
+    ev = generate_events_pandas(ChangelogSpec(n_events=4000, seed=18))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    run_ingest(spark, p, t, epoch_size=2000)
+
+    d = t.diff(1, 2).toPandas()
+    old = t.read_state(version=1).toPandas().set_index(["repo", "path"])
+    new = t.read_state(version=2).toPandas().set_index(["repo", "path"])
+    want_ops = {}
+    for k in set(old.index) | set(new.index):
+        if k not in old.index:
+            want_ops[k] = "I"
+        elif k not in new.index:
+            want_ops[k] = "D"
+        elif old.loc[k, "seq"] != new.loc[k, "seq"]:
+            want_ops[k] = "U"
+    got_ops = {(r.repo, r.path): r.diff_op for r in d.itertuples()}
+    assert got_ops == want_ops
+    assert len(d) > 0
+    # new_content matches the target snapshot for non-deletes
+    for r in d.itertuples():
+        if r.diff_op != "D":
+            assert r.new_content == new.loc[(r.repo, r.path), "content"]
