@@ -56,7 +56,9 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
-    "emb_near_dup",
+    # emb_near_dup (exact quadratic self-join) stays in queries() as the
+    # correctness baseline but is excluded here: it is deliberately O(n^2)
+    # and would dominate the suite; emb_near_dup_lsh is the scale path
     "emb_near_dup_lsh",
 ]
 
@@ -150,8 +152,8 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000"))
-    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "4"))
+    n_events = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "4000000"))
+    n_epochs = int(os.environ.get("SPARK_GRAFT_BENCH_EPOCHS", "2"))
     mode = os.environ.get("SPARK_GRAFT_BENCH_MODE", "all")
 
     spark = get_spark("bench")
