@@ -269,10 +269,15 @@ _EPOCH_SIZE = 2000
 
 def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
     events_path = os.path.join(tempfile.mkdtemp(prefix="cdc_ev_"), "events.parquet")
-    _changelog_df(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(
-        events_path
+    # repartitionByRange on seq: files carry tight seq min/max stats so
+    # each resumed epoch's `seq BETWEEN` predicate prunes row groups
+    # instead of re-scanning the whole changelog every epoch
+    _changelog_df(spark, sf_dir).repartitionByRange(8, "seq").write.mode(
+        "overwrite"
+    ).parquet(events_path)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_lake_"), n_buckets=16, track_changes=True
     )
-    table = LakeTable(spark, tempfile.mkdtemp(prefix="cdc_lake_"), n_buckets=16)
     # crash after 2 epochs, then resume from committed checkpoints
     run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE, stop_after_epochs=2)
     run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE)
@@ -344,40 +349,42 @@ def q_cdc_epoch_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cdc_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming front end: drain the changelog with availableNow
-    through foreachBatch + fenced merge; return the final table state."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    through foreachBatch + fenced merge; return the final table state.
+
+    The landing files are written BY SPARK (repartitionByRange on seq +
+    in-file sort — the shape compacted binlog chunks arrive in on shared
+    storage); no driver-side collect anywhere. The merge itself is
+    order-robust (winner by event seq), so file pickup order across
+    micro-batches does not affect the final state.
+    """
+    import time as _time
 
     from mysql_binlog_spark.streaming import stream_ingest
 
     base = tempfile.mkdtemp(prefix="cdc_stream_")
     ev_dir = os.path.join(base, "events")
-    os.makedirs(ev_dir)
-    pdf = _changelog_df(spark, sf_dir).orderBy("seq").toPandas()
-    arrow_schema = pa.schema(
-        [pa.field("seq", pa.int64())]
-        + [
-            pa.field(c, pa.string())
-            for c in [
-                "repo", "path", "op", "commit", "lang",
-                "content", "before_content", "new_path",
-            ]
-        ]
+    (
+        _changelog_df(spark, sf_dir)
+        .repartitionByRange(4, "seq")
+        .sortWithinPartitions("seq")
+        .write.mode("overwrite")
+        .parquet(ev_dir)
     )
-    n_files = 4
-    chunk = (len(pdf) + n_files - 1) // n_files or 1
-    for i in range(0, max(len(pdf), 1), chunk):
-        part = pdf.iloc[i : i + chunk]
-        pq.write_table(
-            pa.Table.from_pandas(part, schema=arrow_schema, preserve_index=False),
-            os.path.join(ev_dir, f"part-{i // chunk:04d}.parquet"),
-        )
+    # the stream contract is "files arrive in seq order" (the reference's
+    # binlog is a single ordered stream); range-partitioned part files are
+    # seq-ordered by NAME, so stamp ascending mtimes to make the file
+    # source's (mtime-based) pickup order match arrival order
+    t0 = _time.time() - 3600
+    for i, fn in enumerate(
+        sorted(f for f in os.listdir(ev_dir) if f.endswith(".parquet"))
+    ):
+        os.utime(os.path.join(ev_dir, fn), (t0 + i, t0 + i))
     table = LakeTable(spark, os.path.join(base, "lake"), n_buckets=16)
     q = stream_ingest(
         spark, ev_dir, table, checkpoint_dir=os.path.join(base, "ckpt"),
         max_files_per_trigger=2, available_now=True,
     )
-    q.awaitTermination(300)
+    q.awaitTermination()
     return table_snapshot(table)
 
 
@@ -499,19 +506,18 @@ def q_cdc_binlog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_decode_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 analog: vectorized Arrow decode of PACKED binary change records
     (mapInPandas batch decode), then the standard collapse. Returns the
-    same snapshot as cdc_snapshot — proving the packed path is lossless."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+    same snapshot as cdc_snapshot — proving the packed path is lossless.
+    Both encode and decode are distributed mapInPandas passes (zero
+    driver-side collect of the changelog)."""
     from mysql_binlog_spark.sources.binlog_codec import (
         decode_packed_events,
-        encode_packed_events,
+        encode_packed_df,
     )
 
-    pdf = _changelog_df(spark, sf_dir).toPandas()
-    packed = encode_packed_events(pdf)
-    path = os.path.join(tempfile.mkdtemp(prefix="cdc_packed_"), "packed.parquet")
-    pq.write_table(pa.Table.from_pandas(packed, preserve_index=False), path)
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_packed_"), "packed")
+    encode_packed_df(_changelog_df(spark, sf_dir)).write.mode("overwrite").parquet(
+        path
+    )
     decoded = decode_packed_events(spark.read.parquet(path))
     return snapshot_from_events(decoded)
 

@@ -32,7 +32,9 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--events", required=True)
     r.add_argument("--table", required=True)
     r.add_argument("--epoch-size", type=int, default=1_000_000)
-    r.add_argument("--n-buckets", type=int, default=64)
+    # None = adopt the manifest's bucket count (64 for a fresh table);
+    # an explicit value mismatching an existing table fails loudly
+    r.add_argument("--n-buckets", type=int, default=None)
 
     b = sub.add_parser("backup", help="stream-tail the changelog dir into the lake")
     b.add_argument("--events-dir", required=True)
@@ -40,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--checkpoint", required=True)
     b.add_argument("--continuous", action="store_true")
     b.add_argument("--max-files-per-trigger", type=int, default=4)
-    b.add_argument("--n-buckets", type=int, default=64)
+    b.add_argument("--n-buckets", type=int, default=None)
     b.add_argument("--timeout-sec", type=int, default=300)
 
     s = sub.add_parser("snapshot", help="export table state (optionally a past version)")
@@ -97,14 +99,24 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=not args.continuous,
         )
-        q.awaitTermination(args.timeout_sec)
         if args.continuous:
+            # bounded tail for CLI use; the stream keeps running until the
+            # timeout, then is stopped deliberately (still mid-stream by
+            # design — resume picks up from the checkpoint)
+            q.awaitTermination(args.timeout_sec)
             q.stop()
+        else:
+            # availableNow drain: wait for completion, however long the
+            # backlog takes — a timeout here would report success on a
+            # half-ingested run (epoch fencing makes reruns safe, but the
+            # exit status must tell the truth)
+            q.awaitTermination()
         print(json.dumps({"cmd": "backup", "epochs": len(t.epochs_applied())}))
 
     elif args.cmd == "snapshot":
         from mysql_binlog_spark.lake.table import LakeTable
 
+        # n_buckets=None: adopt the bucket count stored in the manifest
         t = LakeTable(spark, args.table)
         t.read_state(version=args.version).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"cmd": "snapshot", "out": args.out, "version": args.version}))

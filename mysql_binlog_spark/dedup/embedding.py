@@ -15,6 +15,11 @@ from pyspark.sql import functions as F
 from mysql_binlog_spark.similarity.ann import cosine_expr, hyperplane_bucket
 
 
+#: hard ceiling for the exact (unblocked) quadratic path — past this the
+#: cross join is a scale hazard, not a verification tool
+MAX_EXACT_ROWS = 10_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -26,9 +31,17 @@ def embedding_near_dup_pairs(
     """(id_a < id_b, cosine) pairs with cosine >= threshold.
 
     blocked=True: LSH sign-bucket join (near-dups almost always share the
-    bucket at high thresholds); blocked=False: exact quadratic self-join
-    (only for small/verification runs).
+    bucket at high thresholds); blocked=False: exact quadratic self-join,
+    verification-only — it refuses inputs above ``MAX_EXACT_ROWS`` so a
+    user cannot accidentally point an O(n^2) plan at a big table.
     """
+    if not blocked:
+        n = df.count()
+        if n > MAX_EXACT_ROWS:
+            raise ValueError(
+                f"exact near-dup is O(n^2) and input has {n} rows "
+                f"(max {MAX_EXACT_ROWS}); use blocked=True (LSH) at scale"
+            )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
         base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))

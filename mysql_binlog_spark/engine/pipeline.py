@@ -68,7 +68,12 @@ def plan_epochs(max_seq: int, epoch_size: int, start_seq: int = -1) -> list[tupl
 
 
 def _read_events(spark: SparkSession, events_path: str) -> DataFrame:
-    return spark.read.parquet(events_path)
+    # canonical-schema read (sources.read_changelog): files written before
+    # an additive column existed surface it as NULL instead of failing or
+    # silently dropping the column depending on which file Spark samples
+    from mysql_binlog_spark.sources.changelog_source import read_changelog
+
+    return read_changelog(spark, events_path)
 
 
 def run_ingest(

@@ -1,49 +1,64 @@
 """LakeTable — an Iceberg-style, parquet-backed lake table with atomic
 snapshots, hash-bucketed copy-on-write MERGE, additive schema evolution,
-and epoch fencing for exactly-once.
+epoch fencing for exactly-once, table-level DDL (truncate/rename), and
+optional per-epoch change tracking for incremental diffs.
 
 Why not a real Iceberg catalog: this container has no Iceberg runtime jar,
 so we implement the same *semantics* on plain parquet + JSON manifests.
-The layout and commit protocol mirror Iceberg's (manifest list + atomic
-pointer swap); on a cluster with Iceberg available the engine's merge step
-is a drop-in ``MERGE INTO`` (see ``engine.pipeline``).
+On a cluster with Iceberg available the engine's merge step is a drop-in
+``MERGE INTO`` (see ``engine.pipeline``).
+
+Commit protocol (Iceberg rename-if-absent style): the linearization point
+is the **atomic exclusive create of manifest v{N+1}.json** — there is no
+separate pointer file, so there is no window in which a crashed writer
+leaves an uncommitted manifest (every manifest that exists IS committed),
+and no cleanup races between readers and writers. The current version is
+simply the highest manifest present. A crash before the manifest create
+leaves orphan data files only (harmless; reclaimed by vacuum).
 
 Reference analogies (what each piece replaces in NineT/mysql-binlog):
 
 - the per-(table x granularity) LevelDB working state
   (backup/handler/merge.go:368-443) -> the bucketed table state itself;
 - atomic state swap by ``os.Rename`` of a LevelDB dir
-  (common/db/ldb.go:30-59) -> atomic ``os.replace`` of the _current
-  snapshot pointer;
+  (common/db/ldb.go:30-59) -> atomic manifest create;
 - the ``position`` meta row with status='success' written only after a
   flush completes (common/db/mysql.go:229-246) -> checkpoint/lineage rows
-  embedded in the committed manifest: a crash before commit leaves no
-  trace, a replayed epoch is detected by its epoch id (fencing) and
-  skipped -> at-least-once scheduling + idempotent commit = exactly-once;
+  embedded in the committed manifest; a replayed epoch is detected by its
+  epoch id (fencing) and skipped -> at-least-once scheduling + idempotent
+  commit = exactly-once;
 - compacted synthetic binlog files ({type}_{start}_{end}.log,
   common/inter/constant.go:134-136) -> parquet data files named
-  epoch{E}-*.parquet per bucket.
+  epoch{E}-*.parquet per bucket, plus (when change tracking is on)
+  per-epoch net-change files — the literal analog of the reference's
+  compacted per-flush binlog output;
+- flush-before-DDL barrier + DDL apply (backup/handler/merge.go:147-166)
+  -> ``apply_repo_ddl`` (truncate = delete-all-keys, rename = re-key),
+  committed as its own fenced epoch;
+- ``IFile``/``IClient`` storage interface (common/inter/store.go:10-24)
+  -> the injected ``TableIO`` (local POSIX or Hadoop FS; see lake.io).
 
 Scale design (the part that must survive 100 TB / 1000 executors):
 
 - Data is hash-bucketed on the merge key: bucket = pmod(xxhash64(repo,
   path), n_buckets). A merge epoch only reads + rewrites the buckets its
-  batch touches — file-granularity copy-on-write, like Iceberg's
-  merge-on-read/copy-on-write partition pruning. An incremental batch
-  touching 3% of buckets rewrites 3% of the table, not 100%.
-- The batch side is aggregated per key before the merge (collapse), so the
-  anti-join's build side is bounded by |keys in batch|, not |events|.
-- n_buckets is the tuning knob: at 100 TB, pick buckets of ~0.5-1 GB
-  (n_buckets ~ 10^5); AQE coalesces small ones at read time.
+  batch touches — file-granularity copy-on-write. ``n_buckets`` is stored
+  in the manifest and validated at open (like Iceberg's bucket spec in
+  table metadata): silently remapping keys across epochs would corrupt
+  every subsequent merge.
+- The batch side is aggregated per key before the merge (collapse), so
+  the merge input is bounded by |keys in batch|, not |events|.
+- The winner-per-key pick orders by (seq, priority): the event with the
+  highest seq wins regardless of which side it came from, so merges are
+  robust to out-of-order epoch application (a late-delivered batch cannot
+  clobber newer committed state).
 - Per-bucket metrics rows (rows_in/upserted/deleted, hwm seq) give
-  per-partition lineage, and make skew visible (hot buckets show up
-  directly in the checkpoint table).
+  per-partition lineage, and make skew visible directly.
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass
@@ -51,6 +66,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from mysql_binlog_spark.lake.io import LocalTableIO, io_for_root
 
 KEY_COLS = ["repo", "path"]
 
@@ -65,6 +82,12 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("wall_ms", T.LongType(), True),
         T.StructField("status", T.StringType(), False),
     ]
+)
+
+#: net-change rows recorded per epoch when change tracking is enabled
+CHANGE_SCHEMA_DDL = (
+    "repo string, path string, diff_op string, seq long, "
+    "old_content string, new_content string, new_commit string"
 )
 
 
@@ -86,48 +109,73 @@ def bucket_expr(n_buckets: int):
     )
 
 
+def _join(*parts: str) -> str:
+    """Path join that works for POSIX paths and URIs alike."""
+    return "/".join(p.rstrip("/") for p in parts)
+
+
 class LakeTable:
-    """A keyed lake table at ``root`` with atomic snapshot commits."""
+    """A keyed lake table at ``root`` with atomic snapshot commits.
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 64):
+    ``n_buckets=None`` adopts the bucket count stored in the table's
+    manifest (read-only tools should do this); passing an explicit value
+    for an existing table asserts it matches the manifest — a mismatch
+    would remap keys across buckets and silently corrupt merges.
+
+    ``track_changes=True`` additionally records each epoch's net-change
+    rows (the CDC-out stream), enabling ``diff()`` to read only the
+    epochs between two versions instead of joining two full snapshots.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int | None = None,
+        io=None,
+        track_changes: bool = False,
+    ):
         self.spark = spark
-        self.root = root
-        self.n_buckets = n_buckets
-        os.makedirs(os.path.join(root, "_snapshots"), exist_ok=True)
-        os.makedirs(os.path.join(root, "data"), exist_ok=True)
-        self._recover_orphans()
+        self.io = io if io is not None else io_for_root(spark, root)
+        self.root = self.io.normalize_root(root)
+        self.track_changes = track_changes
+        self.io.makedirs(_join(self.root, "_snapshots"))
+        self.io.makedirs(_join(self.root, "data"))
+        self._manifest_cache: dict[int, dict] = {}
 
-    def _recover_orphans(self) -> None:
-        """Crash recovery at table open: a crash between manifest write and
-        pointer flip leaves manifests ABOVE the committed pointer. They were
-        never committed (the pointer flip is the linearization point), so
-        they are garbage — and they would collide with the next commit's
-        exclusive-create. Single-writer-per-table protocol, like the
-        reference's one-backup-process-per-instance."""
-        cur = self.current_version()
-        for fn in os.listdir(os.path.join(self.root, "_snapshots")):
+        committed = self.read_manifest()
+        stored = committed.get("n_buckets")
+        if stored is not None:
+            if n_buckets is not None and n_buckets != stored:
+                raise ValueError(
+                    f"table at {self.root} was created with n_buckets={stored}; "
+                    f"reopening with n_buckets={n_buckets} would remap keys "
+                    "across buckets and corrupt merges"
+                )
+            self.n_buckets = int(stored)
+        else:
+            self.n_buckets = n_buckets if n_buckets is not None else 64
+
+    # ---------------- snapshot / manifest plumbing ----------------
+
+    def current_version(self) -> int:
+        """Highest committed manifest version (0 = empty table).
+
+        A manifest exists iff it was committed (exclusive create is the
+        linearization point), so this is a plain listing max.
+        """
+        best = 0
+        for fn in self.io.list_names(_join(self.root, "_snapshots")):
             if fn.startswith("v") and fn.endswith(".json"):
                 try:
                     v = int(fn[1:-5])
                 except ValueError:
                     continue
-                if v > cur:
-                    os.remove(os.path.join(self.root, "_snapshots", fn))
-
-    # ---------------- snapshot / manifest plumbing ----------------
-
-    def _current_path(self) -> str:
-        return os.path.join(self.root, "_current")
-
-    def current_version(self) -> int:
-        try:
-            with open(self._current_path()) as f:
-                return int(f.read().strip())
-        except FileNotFoundError:
-            return 0
+                best = max(best, v)
+        return best
 
     def _manifest_path(self, version: int) -> str:
-        return os.path.join(self.root, "_snapshots", f"v{version:08d}.json")
+        return _join(self.root, "_snapshots", f"v{version:08d}.json")
 
     def read_manifest(self, version: int | None = None) -> dict:
         v = version if version is not None else self.current_version()
@@ -135,37 +183,61 @@ class LakeTable:
             return {
                 "version": 0,
                 "epoch": None,
-                "epochs_applied": [],
+                "epoch_watermark": -1,
+                "epochs_extra": [],
                 "buckets": {},
                 "schema": None,
                 "checkpoints": [],
+                "n_buckets": None,
+                "changes": None,
             }
-        with open(self._manifest_path(v)) as f:
-            return json.load(f)
+        cached = self._manifest_cache.get(v)
+        if cached is not None:
+            return cached
+        m = json.loads(self.io.read_text(self._manifest_path(v)))
+        self._manifest_cache[v] = m  # committed manifests are immutable
+        return m
 
     def _commit(self, manifest: dict) -> None:
-        """Write manifest v(N+1), then atomically flip the pointer.
+        """Atomically create manifest v(N+1) — THE commit.
 
-        The pointer flip (os.replace) is the single linearization point —
-        the analog of the reference's LevelDB rename-swap
-        (common/db/ldb.go:30-59). A crash anywhere before it leaves the
-        table at version N with orphan data files (harmless; vacuum-able)
-        and possibly an orphan manifest (reclaimed at next open).
-
-        The manifest itself is created with O_EXCL: a second writer racing
-        to the same version fails loudly here (optimistic concurrency,
-        Iceberg-style) instead of silently dropping the other's commit.
+        A second writer racing to the same version fails loudly here with
+        FileExistsError (optimistic concurrency, Iceberg-style) instead of
+        silently dropping the other's commit. Readers never mutate
+        anything, so a concurrent reader cannot disturb a committing
+        writer (the round-1 orphan-cleanup-at-open race is gone by
+        construction: there are no uncommitted manifests to clean).
         """
         v = manifest["version"]
-        with open(self._manifest_path(v), "x") as f:
-            json.dump(manifest, f)
-        tmp = self._current_path() + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._current_path())
+        self.io.create_exclusive(self._manifest_path(v), json.dumps(manifest))
+
+    # ---------------- epoch fence bookkeeping ----------------
+    #
+    # The applied-epoch set is stored compacted: ``epoch_watermark`` W
+    # means every epoch id <= W is applied; ``epochs_extra`` holds the
+    # (normally empty) sparse set above W. Epochs commit in id order in
+    # every real run, so the manifest carries O(1) fence bytes instead of
+    # the O(epochs) list that round 1 copied into every commit.
+
+    def _epoch_applied(self, manifest: dict, epoch: int) -> bool:
+        return epoch <= manifest.get("epoch_watermark", -1) or epoch in manifest.get(
+            "epochs_extra", []
+        )
+
+    @staticmethod
+    def _advance_fence(manifest: dict, epoch: int) -> tuple[int, list[int]]:
+        wm = manifest.get("epoch_watermark", -1)
+        extra = set(manifest.get("epochs_extra", []))
+        extra.add(epoch)
+        while wm + 1 in extra:
+            wm += 1
+            extra.discard(wm)
+        return wm, sorted(extra)
 
     def epochs_applied(self) -> list[int]:
-        return list(self.read_manifest().get("epochs_applied", []))
+        m = self.read_manifest()
+        wm = m.get("epoch_watermark", -1)
+        return list(range(wm + 1)) + list(m.get("epochs_extra", []))
 
     def schema(self) -> T.StructType | None:
         m = self.read_manifest()
@@ -175,10 +247,7 @@ class LakeTable:
 
     def _bucket_files(self, manifest: dict, buckets: list[int] | None = None) -> list[str]:
         bmap = manifest["buckets"]
-        if buckets is None:
-            keys = bmap.keys()
-        else:
-            keys = [str(b) for b in buckets]
+        keys = bmap.keys() if buckets is None else [str(b) for b in buckets]
         files: list[str] = []
         for k in keys:
             files.extend(bmap.get(k, []))
@@ -189,20 +258,14 @@ class LakeTable:
     ) -> DataFrame:
         """Table state (optionally only the given buckets).
 
-        ``version`` gives Iceberg-style time travel: read any committed
-        snapshot by its version id (manifests are immutable; the current
-        pointer only selects the default).
-
-        Reads by explicit live-file list from the committed manifest (never
-        by directory listing), with the manifest's schema imposed so files
-        written before an additive column evolution surface it as NULL —
-        Iceberg-style schema-on-read.
+        ``version`` gives Iceberg-style time travel. Reads by explicit
+        live-file list from the committed manifest (never by directory
+        listing), with the manifest's schema imposed so files written
+        before an additive column evolution surface it as NULL.
         """
         manifest = self.read_manifest(version)
         schema = (
-            T.StructType.fromJson(manifest["schema"])
-            if manifest["schema"]
-            else None
+            T.StructType.fromJson(manifest["schema"]) if manifest["schema"] else None
         )
         files = self._bucket_files(manifest, buckets)
         if not files or schema is None:
@@ -213,9 +276,8 @@ class LakeTable:
 
     def _checkpoint_rows(self) -> list[dict]:
         """All committed lineage rows: each manifest stores only ITS
-        epoch's rows (O(1) manifest size per commit instead of copying the
-        whole history — at 10^4 epochs the old scheme is O(epochs^2)
-        bytes); readers walk the committed chain."""
+        epoch's rows; readers walk the committed chain (cached — committed
+        manifests are immutable)."""
         rows: list[dict] = []
         for v in range(1, self.current_version() + 1):
             rows.extend(self.read_manifest(v).get("checkpoints", []))
@@ -249,12 +311,12 @@ class LakeTable:
               WHEN MATCHED THEN UPDATE SET *
               WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
 
-        Exactly-once: if ``epoch`` is already in the committed manifest the
-        call is a fenced no-op (T4 in SURVEY §2.9).
+        Exactly-once: if ``epoch`` is already fenced in the committed
+        manifest the call is a no-op (T4 in SURVEY §2.9).
         """
         t0 = time.monotonic()
         manifest = self.read_manifest()
-        if epoch in manifest.get("epochs_applied", []):
+        if self._epoch_applied(manifest, epoch):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
 
         # persist: the batch feeds two actions (stats aggregation + the
@@ -281,8 +343,7 @@ class LakeTable:
         if not stats:
             # empty epoch still commits (advances the fence)
             batch.unpersist()
-            manifest = self._next_manifest(manifest, epoch, {}, [])
-            self._commit(manifest)
+            self._commit(self._next_manifest(manifest, epoch, {}, []))
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         touched = sorted(int(r["bucket"]) for r in stats)
@@ -291,70 +352,74 @@ class LakeTable:
         state = state.withColumn("bucket", bucket_expr(self.n_buckets))
 
         # COW per bucket as ONE union + per-key merge, single shuffle:
-        # state rows join the batch at priority 0 (op 'U' — an existing
-        # image), batch rows (incl. 'D' tombstones) at priority 1; after
-        # repartition("bucket") the groupBy(bucket, key) needs NO further
-        # exchange (hash partitioning on a subset of the grouping keys
-        # satisfies ClusteredDistribution), and the winner-per-key pick is
-        # the same collapse primitive as the engine core. Replaces the
-        # previous anti-join formulation, which shuffled the state twice
-        # (once on the join keys, again on bucket for the write).
-        prep_state = state.withColumn("op", F.lit("U")).withColumn(
-            "_pri", F.lit(0)
-        )
+        # after repartition("bucket") the groupBy(bucket, key) needs NO
+        # further exchange (hash partitioning on a subset of the grouping
+        # keys satisfies ClusteredDistribution). Winner order is
+        # (seq, _pri): the newest EVENT wins regardless of side, so a
+        # replayed or out-of-order batch cannot clobber newer committed
+        # state; _pri breaks exact seq ties in favor of the batch
+        # (idempotent re-apply of the same event).
+        prep_state = state.withColumn("op", F.lit("U")).withColumn("_pri", F.lit(0))
         prep_batch = batch.drop("n_events").withColumn("_pri", F.lit(1))
         src = prep_state.unionByName(prep_batch, allowMissingColumns=True)
-        data_cols = [
-            c for c in src.columns if c not in ("bucket", "_pri", *KEY_COLS)
+        data_cols = [c for c in src.columns if c not in ("bucket", "_pri", *KEY_COLS)]
+        order = F.struct(F.col("seq"), F.col("_pri"))
+        aggs = [
+            F.max_by(F.struct(*data_cols), order).alias("_w"),
         ]
+        if self.track_changes:
+            # the pre-merge image: winner among state-side rows only
+            # (max_by skips rows whose ordering key is NULL)
+            aggs.append(
+                F.max_by(
+                    F.struct(F.col("seq"), F.col("content"), F.col("commit")),
+                    F.when(F.col("_pri") == 0, F.col("seq")),
+                ).alias("_old")
+            )
+            aggs.append(F.max(F.col("_pri")).alias("_from_batch"))
         merged = (
             src.repartition(max(len(touched), 1), "bucket")
             .groupBy("bucket", *KEY_COLS)
-            .agg(
-                F.max_by(
-                    F.struct(*data_cols), F.struct(F.col("_pri"), F.col("seq"))
-                ).alias("_w")
-            )
+            .agg(*aggs)
         )
-        new_state = (
-            merged.filter(F.col("_w.op") != "D")
-            .select(
-                "bucket",
-                *KEY_COLS,
-                *[
-                    F.col(f"_w.{c}").alias(c)
-                    for c in data_cols
-                    if c != "op"
-                ],
-            )
+        if self.track_changes:
+            merged = merged.persist()
+
+        new_state = merged.filter(F.col("_w.op") != "D").select(
+            "bucket",
+            *KEY_COLS,
+            *[F.col(f"_w.{c}").alias(c) for c in data_cols if c != "op"],
         )
 
-        stage = os.path.join(self.root, "data", f"epoch{epoch:06d}-{uuid.uuid4().hex[:8]}")
+        stage = _join(self.root, "data", f"epoch{epoch:06d}-{uuid.uuid4().hex[:8]}")
         # already hash-partitioned by bucket from the merge — write directly.
         # zstd: measured both faster AND ~2x smaller than the snappy default
-        # for this string-heavy state (8M-event batch: 4.8s/282MB vs
-        # 9.7s/486MB at 16 cores)
+        # for this string-heavy state.
         (
             new_state.write.partitionBy("bucket")
             .option("compression", "zstd")
             .mode("overwrite")
             .parquet(stage)
         )
+
+        changes_entry = None
+        if self.track_changes:
+            changes_entry = self._write_changes(manifest, merged)
+            merged.unpersist()
         batch.unpersist()
 
         # Discover written files per bucket (driver-side listing of the
         # staging dir only — O(touched buckets), not O(table)).
         new_files: dict[str, list[str]] = {}
         for b in touched:
-            bdir = os.path.join(stage, f"bucket={b}")
-            if os.path.isdir(bdir):
-                fs = [
-                    os.path.join(bdir, f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet")
-                ]
-                if fs:
-                    new_files[str(b)] = sorted(fs)
+            bdir = _join(stage, f"bucket={b}")
+            fs = [
+                _join(bdir, f)
+                for f in self.io.list_names(bdir)
+                if f.endswith(".parquet")
+            ]
+            if fs:
+                new_files[str(b)] = sorted(fs)
             # a touched bucket can end up empty (all keys deleted) -> no files
 
         # schema evolution: additive merge (new columns appended)
@@ -373,7 +438,9 @@ class LakeTable:
             }
             for r in stats
         ]
-        nxt = self._next_manifest(manifest, epoch, new_files, cp_rows, touched, new_schema)
+        nxt = self._next_manifest(
+            manifest, epoch, new_files, cp_rows, touched, new_schema, changes_entry
+        )
         self._commit(nxt)
 
         rows_in = sum(r["rows_in"] for r in stats)
@@ -389,23 +456,248 @@ class LakeTable:
             int((time.monotonic() - t0) * 1000),
         )
 
+    def _write_changes(self, manifest: dict, merged: DataFrame) -> list[str] | None:
+        """Record this epoch's net-change rows (CDC out of the lake — the
+        analog of the reference's compacted per-flush binlog output).
+
+        A change row exists for every key the batch actually won:
+        I (no prior image), D (prior image, tombstone won), U (image
+        replaced). A batch 'D' for a key with no prior image is a no-op
+        and produces nothing.
+        """
+        chg = merged.filter(F.col("_from_batch") == 1) if "_from_batch" in merged.columns else merged
+        old_seq = F.col("_old.seq")
+        w_op = F.col("_w.op")
+        diff_op = (
+            F.when(old_seq.isNull() & (w_op != "D"), F.lit("I"))
+            .when(old_seq.isNull(), F.lit(None).cast("string"))  # no-op delete
+            .when(w_op == "D", F.lit("D"))
+            .when(old_seq != F.col("_w.seq"), F.lit("U"))
+            .otherwise(F.lit(None).cast("string"))  # replayed same event
+        )
+        rows = (
+            chg.withColumn("diff_op", diff_op)
+            .filter(F.col("diff_op").isNotNull())
+            .select(
+                *KEY_COLS,
+                "diff_op",
+                F.col("_w.seq").alias("seq"),
+                F.col("_old.content").alias("old_content"),
+                F.when(w_op != "D", F.col("_w.content")).alias("new_content"),
+                F.when(w_op != "D", F.col("_w.commit")).alias("new_commit"),
+            )
+        )
+        cdir = _join(
+            self.root, "changes", f"v{manifest['version'] + 1:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        rows.write.option("compression", "zstd").mode("overwrite").parquet(cdir)
+        files = [
+            _join(cdir, f)
+            for f in self.io.list_names(cdir)
+            if f.endswith(".parquet")
+        ]
+        return sorted(files)
+
+    # ---------------- DDL (truncate / rename a whole repo) ----------------
+
+    def apply_repo_ddl(
+        self, epoch: int, action: str, repo: str, new_repo: str | None = None
+    ) -> MergeResult:
+        """Apply a table-level DDL as its own fenced, atomic commit.
+
+        ``action``: 'truncate' (or 'drop') deletes every key of ``repo``;
+        'rename' re-keys every row of ``repo`` to ``new_repo`` (keys move
+        to their new hash buckets). The engine's epoch planner guarantees
+        the flush-before-DDL barrier: all row events below the DDL's seq
+        are merged before this runs (reference
+        backup/handler/merge.go:147-166).
+        """
+        t0 = time.monotonic()
+        manifest = self.read_manifest()
+        if self._epoch_applied(manifest, epoch):
+            return MergeResult(epoch, False, 0, 0, 0, 0, 0)
+
+        state = self.read_state().withColumn("bucket", bucket_expr(self.n_buckets))
+        affected = state.filter(F.col("repo") == repo).persist()
+        src_buckets = [int(r[0]) for r in affected.select("bucket").distinct().collect()]
+        n_affected = affected.count()
+
+        if not src_buckets:
+            affected.unpersist()
+            self._commit(self._next_manifest(manifest, epoch, {}, []))
+            return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
+
+        if action in ("truncate", "drop"):
+            touched = src_buckets
+            new_state = (
+                self.read_state(buckets=touched)
+                .filter(F.col("repo") != repo)
+                .withColumn("bucket", bucket_expr(self.n_buckets))
+            )
+            changes_src = affected.select(
+                *KEY_COLS,
+                F.lit("D").alias("diff_op"),
+                F.col("seq"),
+                F.col("content").alias("old_content"),
+                F.lit(None).cast("string").alias("new_content"),
+                F.lit(None).cast("string").alias("new_commit"),
+            )
+            deleted, upserted = n_affected, 0
+        elif action == "rename":
+            moved = affected.drop("bucket").withColumn("repo", F.lit(new_repo))
+            tgt_buckets = [
+                int(r[0])
+                for r in moved.withColumn("bucket", bucket_expr(self.n_buckets))
+                .select("bucket")
+                .distinct()
+                .collect()
+            ]
+            touched = sorted(set(src_buckets) | set(tgt_buckets))
+            new_state = (
+                self.read_state(buckets=touched)
+                .filter(F.col("repo") != repo)
+                .unionByName(moved, allowMissingColumns=True)
+                .withColumn("bucket", bucket_expr(self.n_buckets))
+            )
+            d_rows = affected.select(
+                *KEY_COLS,
+                F.lit("D").alias("diff_op"),
+                F.col("seq"),
+                F.col("content").alias("old_content"),
+                F.lit(None).cast("string").alias("new_content"),
+                F.lit(None).cast("string").alias("new_commit"),
+            )
+            i_rows = moved.select(
+                *KEY_COLS,
+                F.lit("I").alias("diff_op"),
+                F.col("seq"),
+                F.lit(None).cast("string").alias("old_content"),
+                F.col("content").alias("new_content"),
+                F.col("commit").alias("new_commit"),
+            )
+            changes_src = d_rows.unionByName(i_rows)
+            deleted, upserted = n_affected, n_affected
+        else:
+            affected.unpersist()
+            raise ValueError(f"unknown DDL action {action!r}")
+
+        stage = _join(self.root, "data", f"ddl{epoch:06d}-{uuid.uuid4().hex[:8]}")
+        (
+            new_state.repartition(max(len(touched), 1), "bucket")
+            .write.partitionBy("bucket")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(stage)
+        )
+
+        changes_entry = None
+        if self.track_changes:
+            cdir = _join(
+                self.root,
+                "changes",
+                f"v{manifest['version'] + 1:08d}-{uuid.uuid4().hex[:8]}",
+            )
+            changes_src.write.option("compression", "zstd").mode("overwrite").parquet(cdir)
+            changes_entry = sorted(
+                _join(cdir, f)
+                for f in self.io.list_names(cdir)
+                if f.endswith(".parquet")
+            )
+        affected.unpersist()
+
+        new_files: dict[str, list[str]] = {}
+        for b in touched:
+            bdir = _join(stage, f"bucket={b}")
+            fs = [
+                _join(bdir, f)
+                for f in self.io.list_names(bdir)
+                if f.endswith(".parquet")
+            ]
+            if fs:
+                new_files[str(b)] = sorted(fs)
+
+        cp_rows = [
+            {
+                "epoch": epoch,
+                "bucket": -1,
+                "hwm_seq": None,
+                "rows_in": n_affected,
+                "rows_upserted": upserted,
+                "rows_deleted": deleted,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "status": "success",
+            }
+        ]
+        nxt = self._next_manifest(
+            manifest, epoch, new_files, cp_rows, touched, None, changes_entry
+        )
+        self._commit(nxt)
+        return MergeResult(
+            epoch, True, len(touched), n_affected, upserted, deleted,
+            int((time.monotonic() - t0) * 1000),
+        )
+
+    # ---------------- diff (incremental changelog scan) ----------------
+
     def diff(self, v_old: int, v_new: int) -> DataFrame:
         """Net change set between two committed snapshots — the Iceberg
         changelog-scan analog (CDC OUT of the lake): one row per key whose
-        state differs, typed I (new key) / D (gone key) / U (image
-        changed). Equals the collapsed net effect of all epochs in between,
-        so incremental consumers can replay diffs instead of full states.
+        state differs, typed I (new key) / D (gone key) / U (changed).
 
-        Full outer join on the key; 'unchanged' keys (same seq) drop out.
-        At scale both sides are bucket-partitioned on the same key hash, so
-        the join co-locates under the bucketed layout.
+        When change tracking is on, this reads ONLY the per-epoch change
+        files of versions (v_old, v_new] and collapses them per key with
+        the same first-x-last net-effect algebra as the event collapse —
+        O(changed rows), not O(table). Falls back to a full-outer join of
+        the two snapshots when any intermediate version lacks change files
+        (e.g. the table predates tracking).
         """
-        old = self.read_state(version=v_old).select(
-            *KEY_COLS, F.struct("*").alias("_o")
+        inc = self._diff_incremental(v_old, v_new)
+        return inc if inc is not None else self._diff_full(v_old, v_new)
+
+    def _diff_incremental(self, v_old: int, v_new: int) -> DataFrame | None:
+        files: list[str] = []
+        for v in range(v_old + 1, v_new + 1):
+            entry = self.read_manifest(v).get("changes")
+            if entry is None:
+                return None
+            files.extend(entry)
+        if not files:
+            return self.spark.createDataFrame([], CHANGE_SCHEMA_DDL).select(
+                *KEY_COLS, "diff_op", "old_content", "new_content", "new_commit"
+            )
+        chg = self.spark.read.schema(CHANGE_SCHEMA_DDL).parquet(*files)
+        # net effect across epochs: first change's old image x last
+        # change's new image (same algebra as collapse_net_effect)
+        agg = chg.groupBy(*KEY_COLS).agg(
+            F.min_by(F.struct("diff_op", "old_content"), "seq").alias("first"),
+            F.max_by(F.struct("diff_op", "new_content", "new_commit"), "seq").alias(
+                "last"
+            ),
         )
-        new = self.read_state(version=v_new).select(
-            *KEY_COLS, F.struct("*").alias("_n")
+        first_op, last_op = F.col("first.diff_op"), F.col("last.diff_op")
+        net = (
+            F.when((first_op == "I") & (last_op == "D"), F.lit(None).cast("string"))
+            .when(first_op == "I", F.lit("I"))
+            .when(last_op == "D", F.lit("D"))
+            .otherwise(F.lit("U"))
         )
+        return (
+            agg.select(
+                *KEY_COLS,
+                net.alias("diff_op"),
+                F.col("first.old_content").alias("old_content"),
+                F.when(last_op != "D", F.col("last.new_content")).alias("new_content"),
+                F.when(last_op != "D", F.col("last.new_commit")).alias("new_commit"),
+            )
+            .filter(F.col("diff_op").isNotNull())
+        )
+
+    def _diff_full(self, v_old: int, v_new: int) -> DataFrame:
+        """Fallback: full outer join on the key; 'unchanged' keys (same
+        seq) drop out. Both sides are bucket-partitioned on the same key
+        hash, so the join co-locates under the bucketed layout."""
+        old = self.read_state(version=v_old).select(*KEY_COLS, F.struct("*").alias("_o"))
+        new = self.read_state(version=v_new).select(*KEY_COLS, F.struct("*").alias("_n"))
         j = old.join(new, on=KEY_COLS, how="full_outer")
         diff_op = (
             F.when(F.col("_o").isNull(), F.lit("I"))
@@ -425,15 +717,21 @@ class LakeTable:
             )
         )
 
+    # ---------------- maintenance ----------------
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
         manifests — the analog of the reference's rolling tar consolidation
         + cleanup (common/client/cfs.go:84-171). Never touches files a
-        retained snapshot can still read, so time travel within the
-        retention window stays valid. Manifests themselves are kept (they
-        are tiny and carry the per-epoch lineage chain); reading an expired
-        older version afterwards fails on its missing data files, exactly
-        like Iceberg after expire_snapshots."""
+        retained snapshot can still read. Manifests themselves are kept
+        (tiny; they carry the lineage chain); reading an expired older
+        version afterwards fails on its missing data files, exactly like
+        Iceberg after expire_snapshots.
+
+        Path comparison is safe against root-spelling drift because
+        ``self.root`` is normalized at open and manifests record paths
+        under the normalized root.
+        """
         cur = self.current_version()
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
         live: set[str] = set()
@@ -442,13 +740,10 @@ class LakeTable:
             for files in m["buckets"].values():
                 live.update(files)
         removed: list[str] = []
-        data_root = os.path.join(self.root, "data")
-        for dirpath, _dirs, files in os.walk(data_root):
-            for fn in files:
-                p = os.path.join(dirpath, fn)
-                if fn.endswith(".parquet") and p not in live:
-                    os.remove(p)
-                    removed.append(p)
+        for p in self.io.walk_files(_join(self.root, "data"), ".parquet"):
+            if p not in live:
+                self.io.delete(p)
+                removed.append(p)
         return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
@@ -472,17 +767,24 @@ class LakeTable:
         cp_rows: list[dict],
         touched: list[int] | None = None,
         new_schema: dict | None = None,
+        changes_entry: list[str] | None = None,
     ) -> dict:
         buckets = dict(manifest["buckets"])
         for b in touched or []:
             buckets.pop(str(b), None)  # touched bucket fully rewritten
         buckets.update(new_files)
+        wm, extra = self._advance_fence(manifest, epoch)
         return {
             "version": manifest["version"] + 1,
             "epoch": epoch,
-            "epochs_applied": sorted(set(manifest.get("epochs_applied", [])) | {epoch}),
+            "epoch_watermark": wm,
+            "epochs_extra": extra,
             "buckets": buckets,
             "schema": new_schema or manifest["schema"],
             # delta only — readers walk the chain (see _checkpoint_rows)
             "checkpoints": cp_rows,
+            "n_buckets": self.n_buckets,
+            # this COMMIT's change files ([] = tracked-but-empty epoch,
+            # None = tracking off -> incremental diff falls back)
+            "changes": changes_entry if self.track_changes else None,
         }

@@ -1,0 +1,278 @@
+"""DDL-statement handling: parse -> affected tables -> barrier semantics.
+
+The reference inspects every QUERY event, extracts the affected table(s)
+with regexes + a SQL parser (common/regx/regular.go:20-139,
+common/regx/parser.go:12-108), and for each affected table flushes all
+buffered data *before* the DDL is appended to the output
+(backup/handler/merge.go:147-166) — multi-statement queries are split on
+';' and each statement handled separately; RENAME with multiple
+old->new pairs is split on ','; unqualified names get the event's schema
+(db) prefixed; txn-control statements (BEGIN/COMMIT/ROLLBACK/SAVEPOINT)
+are elided (merge.go:141-146).
+
+Our model: the changelog's "table" is the repo. DDL events carry
+``op='Q'`` and a ``statement`` column; row events leave it NULL.
+
+Statement kinds and their state semantics (SURVEY §2.8 C7, §2.9 T8):
+
+- TRUNCATE / DROP TABLE  -> every key of the repo whose last event is
+  below the DDL's seq is deleted (re-inserts after the DDL survive);
+- RENAME TABLE a TO b    -> every key of repo a below the DDL's seq is
+  re-keyed to repo b (possibly merging with b's own keys under
+  last-writer-wins — same as the reference replaying the rename);
+- CREATE / ALTER / CREATE INDEX -> no state change; still a flush
+  barrier in the epoch pipeline (the reference flushes-then-appends).
+
+Parsing is driver-side Python over the (rare, metadata-scale) DDL rows —
+the analog of the reference handling QUERY events on its single control
+goroutine; row events never touch this path.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: how the engine treats each parsed action
+ACTION_CREATE = "create"
+ACTION_ALTER = "alter"
+ACTION_RENAME = "rename"
+ACTION_DROP = "drop"
+ACTION_TRUNCATE = "truncate"
+ACTION_CREATE_INDEX = "create_index"
+
+# name fragment: optionally backticked, optionally db-qualified; repo
+# names here may contain '-' (unlike MySQL's default identifier charset)
+_NAME = r"`?([A-Za-z0-9_\-]+)`?(?:\s*\.\s*`?([A-Za-z0-9_\-]+)`?)?"
+
+_RE_CREATE_INDEX = re.compile(
+    r"^CREATE\s+INDEX\s+\S+\s+ON\s+" + _NAME + r"\s*\(", re.I
+)
+_RE_CREATE = re.compile(
+    r"^CREATE\s+TABLE(?:\s+IF\s+NOT\s+EXISTS)?\s+" + _NAME + r"\s*\(", re.I
+)
+_RE_ALTER = re.compile(r"^ALTER\s+TABLE\s+" + _NAME + r"\s+\S", re.I)
+_RE_DROP = re.compile(
+    r"^DROP\s+TABLE(?:\s+IF\s+EXISTS)?\s+" + _NAME + r"\s*(?:$|;|\s)", re.I
+)
+_RE_TRUNCATE = re.compile(
+    r"^TRUNCATE\s+(?:TABLE\s+)?" + _NAME + r"\s*(?:$|;|\s)", re.I
+)
+_RE_RENAME_PAIR = re.compile(
+    r"^\s*(?:RENAME\s+TABLE\s+)?" + _NAME + r"\s+TO\s+" + _NAME + r"\s*$", re.I
+)
+_RE_RENAME_HEAD = re.compile(r"^RENAME\s+TABLE\s+", re.I)
+
+_TXN_CONTROL = {"BEGIN", "COMMIT", "ROLLBACK", "SAVEPOINT"}
+
+
+@dataclass(frozen=True)
+class ParsedDdl:
+    """One parsed DDL statement.
+
+    ``tables``: affected full names as ``db.table``. For renames,
+    ``pairs`` additionally carries the (old, new) mapping in order.
+    """
+
+    action: str
+    tables: tuple[str, ...]
+    pairs: tuple[tuple[str, str], ...] = ()
+    statement: str = ""
+
+
+def _qualify(table: str, db: str | None, default_db: str) -> str:
+    return f"{db or default_db}.{table}"
+
+
+def parse_statement(stmt: str, default_db: str = "main") -> ParsedDdl | None:
+    """Parse ONE statement; None when it is txn control or unrecognized
+    (the reference routes unmatched DDL to the 'public' stream — our
+    analog is an engine-level barrier with no table effect)."""
+    s = stmt.strip().rstrip(";").strip()
+    if not s:
+        return None
+    first = s.split(None, 1)[0].upper()
+    if first in _TXN_CONTROL:
+        return None
+
+    if _RE_RENAME_HEAD.match(s):
+        body = _RE_RENAME_HEAD.sub("", s, count=1)
+        pairs: list[tuple[str, str]] = []
+        tables: list[str] = []
+        for seg in body.split(","):
+            m = _RE_RENAME_PAIR.match(seg)
+            if not m:
+                return None
+            g = m.groups()  # (a_tb_or_db, a_tb, b_tb_or_db, b_tb)
+            old = _qualify(g[1] or g[0], g[0] if g[1] else None, default_db)
+            new = _qualify(g[3] or g[2], g[2] if g[3] else None, default_db)
+            pairs.append((old, new))
+            tables.extend((old, new))
+        return ParsedDdl(ACTION_RENAME, tuple(tables), tuple(pairs), s)
+
+    for action, rx in (
+        (ACTION_CREATE_INDEX, _RE_CREATE_INDEX),
+        (ACTION_CREATE, _RE_CREATE),
+        (ACTION_ALTER, _RE_ALTER),
+        (ACTION_DROP, _RE_DROP),
+        (ACTION_TRUNCATE, _RE_TRUNCATE),
+    ):
+        m = rx.match(s)
+        if m:
+            a, b = m.group(1), m.group(2)
+            table = _qualify(b or a, a if b else None, default_db)
+            return ParsedDdl(action, (table,), (), s)
+    return None
+
+
+def parse_query(query: str, default_db: str = "main") -> list[ParsedDdl]:
+    """Parse a QUERY-event payload: split multi-statement on ';', parse
+    each, drop txn control / unmatched (reference merge.go:147-166)."""
+    out: list[ParsedDdl] = []
+    for stmt in query.split(";"):
+        p = parse_statement(stmt, default_db)
+        if p is not None:
+            out.append(p)
+    return out
+
+
+def repo_of(full_table: str, default_db: str = "main") -> str:
+    """Map a parsed ``db.table`` name to the changelog's repo key: the
+    table part (the db qualifier is our namespace default)."""
+    return full_table.split(".", 1)[1] if "." in full_table else full_table
+
+
+# ---------------------------------------------------------------------------
+# changelog-level DDL application (the bounded 'merge' / snapshot path)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class DdlOp:
+    """One state-affecting DDL occurrence, in stream order."""
+
+    seq: int
+    action: str  # 'truncate' | 'drop' | 'rename' | barrier-only actions
+    repo: str | None = None
+    new_repo: str | None = None
+
+
+MAX_DDL_EVENTS = 100_000  # driver-side guard: DDL is metadata-scale
+
+
+def extract_ddl_ops(events: DataFrame, default_db: str = "main") -> list[DdlOp]:
+    """Collect and parse the stream's DDL events (op='Q'), in seq order.
+
+    Driver-side by design: DDL frequency is orders of magnitude below row
+    events (the reference also serializes DDL handling on its control
+    loop). Guarded so a mis-tagged stream cannot OOM the driver.
+    """
+    if "statement" not in events.columns:
+        return []
+    rows = (
+        events.filter(F.col("op") == "Q")
+        .select("seq", "statement")
+        .orderBy("seq")
+        .limit(MAX_DDL_EVENTS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DDL_EVENTS:
+        raise ValueError(
+            f"more than {MAX_DDL_EVENTS} DDL events — stream is mis-tagged?"
+        )
+    ops: list[DdlOp] = []
+    for r in rows:
+        for p in parse_query(r["statement"] or "", default_db):
+            if p.action == ACTION_RENAME:
+                for old, new in p.pairs:
+                    ops.append(
+                        DdlOp(int(r["seq"]), "rename", repo_of(old), repo_of(new))
+                    )
+            elif p.action in (ACTION_DROP, ACTION_TRUNCATE):
+                ops.append(DdlOp(int(r["seq"]), p.action, repo_of(p.tables[0])))
+            else:  # create / alter / create index: barrier only
+                ops.append(DdlOp(int(r["seq"]), p.action, repo_of(p.tables[0])))
+    return ops
+
+
+def rename_remap_expr(ops: list[DdlOp], repo: Column, seq: Column) -> Column:
+    """Repo remapping under renames, applied in stream order.
+
+    A rename at seq s moves every event of the old repo with seq < s to
+    the new repo. Applying the (few) renames sequentially in seq order
+    resolves chains (a->b then b->c) exactly like replaying them.
+    """
+    expr = repo
+    for op in sorted(ops, key=lambda o: o.seq):
+        if op.action == "rename":
+            expr = F.when(
+                (expr == op.repo) & (seq < op.seq), F.lit(op.new_repo)
+            ).otherwise(expr)
+    return expr
+
+
+def truncate_watermarks(ops: list[DdlOp]) -> dict[str, int]:
+    """repo -> highest truncate/drop seq, with the repo name itself
+    tracked THROUGH later renames (truncating r2 then renaming r2->r9
+    means the truncated keys live under r9 in the final namespace)."""
+    marks: list[tuple[str, int]] = []
+    for op in sorted(ops, key=lambda o: o.seq):
+        if op.action in ("truncate", "drop"):
+            marks.append((op.repo, op.seq))
+        elif op.action == "rename":
+            marks = [
+                (op.new_repo if r == op.repo else r, s) for (r, s) in marks
+            ]
+    out: dict[str, int] = {}
+    for r, s in marks:
+        out[r] = max(out.get(r, -1), s)
+    return out
+
+
+def truncate_filter_expr(
+    marks: dict[str, int], repo: Column, last_seq: Column
+) -> Column:
+    """Keep a collapsed key iff its last event is at/after every truncate
+    watermark of its (final-namespace) repo."""
+    keep = F.lit(True)
+    for r, s in sorted(marks.items()):
+        keep = keep & ((repo != r) | (last_seq > s))
+    return keep
+
+
+def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
+    """Single-pass snapshot honoring DDL events — the bounded `merge`
+    analog with the flush-before-DDL semantics folded into expressions:
+
+        rename remap (seq-ordered whens)  ->  expand_renames
+        ->  collapse_latest  ->  truncate-watermark filter
+
+    The epoch pipeline achieves the same result incrementally via
+    ``LakeTable.apply_repo_ddl`` at real barriers (engine.pipeline).
+    """
+    from mysql_binlog_spark.operators.collapse import (
+        PAYLOAD_COLS,
+        collapse_latest,
+        expand_renames,
+    )
+
+    ops = extract_ddl_ops(events, default_db)
+    rows = events.filter(F.col("op") != "Q")
+    remapped = rows.withColumn(
+        "repo", rename_remap_expr(ops, F.col("repo"), F.col("seq"))
+    )
+    latest = collapse_latest(expand_renames(remapped))
+    marks = truncate_watermarks(ops)
+    kept = latest.filter(
+        (F.col("op") != "D")
+        & truncate_filter_expr(marks, F.col("repo"), F.col("seq"))
+    )
+    return kept.select(
+        "repo",
+        "path",
+        *PAYLOAD_COLS,
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )

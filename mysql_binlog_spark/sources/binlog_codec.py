@@ -67,6 +67,19 @@ def encode_packed_events(events: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame({"record": recs})
 
 
+def encode_packed_df(events: DataFrame) -> DataFrame:
+    """Distributed encoder: typed changelog DataFrame -> packed binary
+    records, via Arrow-batched mapInPandas (mirror of the decode side; no
+    driver collect, no shuffle — encodes partition-locally)."""
+    cols = ["seq", "op", *_FIELDS]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield encode_packed_events(pdf)
+
+    return events.select(*cols).mapInPandas(run, schema=PACKED_SCHEMA)
+
+
 def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out: dict[str, list] = {
         "seq": [],

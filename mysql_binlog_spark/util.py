@@ -11,10 +11,11 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
 
     A small parquet input arrives as ONE scan partition (file-size based
     splitting), which serializes expression-heavy stages (minhash/simhash)
-    on a single core. At real scale inputs are already well-partitioned and
-    this is a no-op; the repartition only fires when the scan under-splits.
+    on a single core. At real scale inputs are already well-partitioned
+    and the extra repartition is a cheap small shuffle; AQE coalesces it
+    back if unneeded. Deliberately avoids ``df.rdd.getNumPartitions()``
+    (forcing RDD conversion triggers plan analysis on the hot path and
+    defeats Catalyst plan reuse).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *cols) if cols else df.repartition(target)
-    return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)

@@ -95,12 +95,12 @@ def test_schema_imposed_read(spark, tmp_path):
     assert df.count() == 500
 
 
-def test_orphan_manifest_recovery(spark, tmp_path):
-    """A crash between manifest write and pointer flip leaves a manifest
-    above the pointer; reopening the table must reclaim it and the next
-    commit must succeed at that version."""
-    import json
-
+def test_torn_commit_leaves_only_data_orphans(spark, tmp_path):
+    """Commit protocol: the manifest create IS the commit. A crash before
+    it leaves only orphan data files — invisible to reads (manifest file
+    lists are authoritative) and reclaimed by vacuum. There is no
+    uncommitted-manifest state at all, so reopening (even read-only) has
+    no cleanup to do and cannot race a writer."""
     ev = generate_events_pandas(ChangelogSpec(n_events=1000, seed=15))
     p = str(tmp_path / "ev.parquet")
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
@@ -108,16 +108,22 @@ def test_orphan_manifest_recovery(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
     run_ingest(spark, p, t, epoch_size=500)
     cur = t.current_version()
-    # simulate the torn commit: manifest v(cur+1) exists, pointer not flipped
-    orphan = t._manifest_path(cur + 1)
-    with open(orphan, "w") as f:
-        json.dump({"version": cur + 1, "buckets": {}, "schema": None,
-                   "epochs_applied": [], "checkpoints": []}, f)
+    n_rows = t.read_state().count()
+
+    # simulate the torn commit: data staged, crash before manifest create
+    orphan_dir = os.path.join(t.root, "data", "epoch999-deadbeef", "bucket=0")
+    os.makedirs(orphan_dir)
+    pq.write_table(
+        pa.Table.from_pandas(ev.head(3), preserve_index=False),
+        os.path.join(orphan_dir, "part-0.parquet"),
+    )
 
     t2 = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
-    assert not os.path.exists(orphan), "orphan manifest must be reclaimed"
     assert t2.current_version() == cur
-    # fresh events can still commit at version cur+1
+    assert t2.read_state().count() == n_rows  # orphans invisible
+    removed = t2.vacuum(keep_versions=1)
+    assert any("epoch999-deadbeef" in r for r in removed)
+    # fresh events still commit at the next version
     ev2 = generate_events_pandas(ChangelogSpec(n_events=1500, seed=15))
     p2 = str(tmp_path / "ev2.parquet")
     pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False), p2)
@@ -127,7 +133,8 @@ def test_orphan_manifest_recovery(spark, tmp_path):
 
 def test_concurrent_commit_detected(spark, tmp_path):
     """Two writers racing to the same version: the second exclusive-create
-    must fail loudly instead of silently overwriting."""
+    must fail loudly instead of silently overwriting (optimistic
+    concurrency at the manifest-create linearization point)."""
     import json
 
     import pytest
@@ -138,17 +145,61 @@ def test_concurrent_commit_detected(spark, tmp_path):
 
     t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
     run_ingest(spark, p, t, epoch_size=1000)
-    # a rival writer sneaks in manifest v(cur+1) AFTER our table object
-    # read its base manifest
+    # a rival commits v(cur+1) AFTER our writer has planned the same
+    # version (simulated by committing the rival's manifest directly,
+    # then attempting our commit at the now-taken version)
     cur = t.current_version()
     with open(t._manifest_path(cur + 1), "w") as f:
         json.dump({"version": cur + 1, "buckets": {}, "schema": None,
-                   "epochs_applied": [], "checkpoints": []}, f)
-    ev2 = generate_events_pandas(ChangelogSpec(n_events=1600, seed=16))
-    p2 = str(tmp_path / "ev2.parquet")
-    pq.write_table(pa.Table.from_pandas(ev2, preserve_index=False), p2)
+                   "epoch_watermark": -1, "epochs_extra": [],
+                   "checkpoints": [], "n_buckets": 4, "changes": None}, f)
     with pytest.raises(FileExistsError):
-        run_ingest(spark, p2, t, epoch_size=1000)
+        t._commit({"version": cur + 1, "buckets": {}, "schema": None,
+                   "epoch_watermark": -1, "epochs_extra": [],
+                   "checkpoints": [], "n_buckets": 4, "changes": None})
+
+
+def test_n_buckets_mismatch_fails_loudly(spark, tmp_path):
+    """Reopening an existing table with a different explicit n_buckets
+    must fail (a silent remap would scatter keys across buckets and
+    corrupt every subsequent merge); n_buckets=None adopts the stored
+    value."""
+    import pytest
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=600, seed=19))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    run_ingest(spark, p, t, epoch_size=1000)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        LakeTable(spark, str(tmp_path / "lake"), n_buckets=16)
+    t2 = LakeTable(spark, str(tmp_path / "lake"))  # adopt
+    assert t2.n_buckets == 8
+
+
+def test_root_spelling_independence(spark, tmp_path):
+    """Vacuum/reads work when the table is reopened via a different
+    spelling of the same root (relative vs absolute): paths are
+    normalized at open, so manifest-recorded paths always compare equal."""
+    ev = generate_events_pandas(ChangelogSpec(n_events=1000, seed=20))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    run_ingest(spark, p, t, epoch_size=500)
+    n = t.read_state().count()
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        t2 = LakeTable(spark, "lake")  # relative spelling, same table
+        assert t2.read_state().count() == n
+        removed = t2.vacuum(keep_versions=1)
+        # older version's files reclaimed; live files untouched
+        assert removed
+        assert t2.read_state().count() == n
+    finally:
+        os.chdir(cwd)
 
 
 def test_checkpoint_chain_across_manifests(spark, tmp_path):
