@@ -183,6 +183,54 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 )
 
+# DDL-barrier oracle: same changelog, minus the DDL firing seqs, with the
+# rename remap applied BEFORE normalization and the truncate/drop
+# watermarks filtering the collapsed output (mirrors
+# operators.ddl.snapshot_with_ddl semantics independently in SQL)
+_DDL_BARRIER_SQL = f"""WITH {_CHANGELOG_CTE},
+marks AS (
+  SELECT
+    COALESCE((SELECT min(event_id) FROM events WHERE event_id % 512 = 101), -1) AS t_r2,
+    COALESCE((SELECT min(event_id) FROM events WHERE event_id % 512 = 303), -1) AS rn_r5,
+    COALESCE((SELECT min(event_id) FROM events WHERE event_id % 512 = 405), -1) AS d_r3,
+    COALESCE((SELECT min(event_id) FROM events WHERE event_id % 512 = 77), -1) AS a_no
+),
+rows_ev AS (
+  SELECT c.* FROM changelog c, marks m
+  WHERE c.seq <> m.t_r2 AND c.seq <> m.rn_r5
+    AND c.seq <> m.d_r3 AND c.seq <> m.a_no
+),
+remapped AS (
+  SELECT seq,
+         CASE WHEN repo = 'r5' AND seq < m.rn_r5 THEN 'r9' ELSE repo END AS repo,
+         path, op, "commit", lang, content, before_content, new_path
+  FROM rows_ev, marks m
+),
+normalized AS (
+  SELECT seq, 0 AS sub, repo, path, op, "commit", lang, content
+  FROM remapped WHERE new_path IS NULL
+  UNION ALL
+  SELECT seq, 0 AS sub, repo, path, 'D' AS op, CAST(NULL AS VARCHAR),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM remapped WHERE new_path IS NOT NULL
+  UNION ALL
+  SELECT seq, 1 AS sub, repo, new_path AS path, 'I' AS op, "commit", lang,
+         content
+  FROM remapped WHERE new_path IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC, sub DESC) AS rn
+  FROM normalized
+)
+SELECT repo, path, "commit", lang, content,
+       sha256(content) AS content_sha256
+FROM ranked, marks m
+WHERE rn = 1 AND op <> 'D'
+  AND NOT (repo = 'r2' AND seq <= m.t_r2)
+  AND NOT (repo = 'r3' AND seq <= m.d_r3)
+"""
+
 
 # --------------------------------------------------------------------------
 # text-analysis oracle fragments (DuckDB list ops mirroring functions.text)
@@ -287,6 +335,76 @@ def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
+
+
+# --------------------------------------------------------------------------
+# DDL barrier fixture: deterministic DDL events injected into the derived
+# changelog (C7/T8 — statement parse + truncate/drop/rename semantics)
+# --------------------------------------------------------------------------
+
+_DDL_MOD = 512
+#: slot -> (affected repo, statement template) — formats deliberately vary
+#: quoting/db-qualification/multi-statement to exercise the parser
+_DDL_SLOTS = [
+    (101, "r2", "TRUNCATE TABLE `r2`"),
+    (303, "r5", "RENAME TABLE main.r5 TO main.r9"),
+    (405, "r3", "DROP TABLE IF EXISTS `main`.`r3`"),
+    (77, "r1", "SAVEPOINT sp1; ALTER TABLE r1 ADD COLUMN x INT"),
+]
+
+
+def _ddl_marks(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """slot -> firing seq (the first event_id hitting the slot's residue);
+    -1 when the table is too small to contain one (DDL then not emitted —
+    mirrored by COALESCE(..., -1) in the oracle SQL)."""
+    ev = _t(spark, sf_dir, "events")
+    row = ev.agg(
+        *[
+            F.min(
+                F.when(F.col("event_id") % _DDL_MOD == slot, F.col("event_id"))
+            ).alias(f"s{slot}")
+            for slot, _r, _s in _DDL_SLOTS
+        ]
+    ).collect()[0]
+    return {
+        slot: int(row[f"s{slot}"]) if row[f"s{slot}"] is not None else -1
+        for slot, _r, _s in _DDL_SLOTS
+    }
+
+
+def _ddl_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    marks = _ddl_marks(spark, sf_dir)
+    firing = [marks[slot] for slot, _r, _s in _DDL_SLOTS if marks[slot] >= 0]
+    base = _changelog_df(spark, sf_dir).withColumn(
+        "statement", F.lit(None).cast("string")
+    )
+    rows = base.filter(~F.col("seq").isin(firing)) if firing else base
+    ddl_recs = [
+        (marks[slot], repo, "", "Q", "", None, None, None, None, stmt)
+        for slot, repo, stmt in _DDL_SLOTS
+        if marks[slot] >= 0
+    ]
+    if not ddl_recs:
+        return rows
+    ddl_rows = spark.createDataFrame(
+        ddl_recs,
+        "seq long, repo string, path string, op string, commit string, "
+        "lang string, content string, before_content string, "
+        "new_path string, statement string",
+    )
+    return rows.unionByName(ddl_rows)
+
+
+def q_cdc_ddl_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7/T8: DDL statements parsed from QUERY events (TRUNCATE / DROP /
+    RENAME TABLE with quoting + db-qualification + multi-statement
+    variants), applied with flush-before-DDL semantics: truncated/dropped
+    repos lose every key last-written before the DDL; renamed repos
+    re-key (reference common/regx/regular.go:20-139,
+    backup/handler/merge.go:147-166)."""
+    from mysql_binlog_spark.operators.ddl import snapshot_with_ddl
+
+    return snapshot_with_ddl(_ddl_changelog(spark, sf_dir))
 
 
 def q_cdc_collapse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -700,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
+        "cdc_ddl_barrier": q_cdc_ddl_barrier,
         # --- relational coverage (scan/filter/agg/join/window) ---
         "pricing_summary": q_pricing_summary,
         "nation_revenue": q_nation_revenue,
@@ -842,6 +961,7 @@ SELECT repo, path,
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_decode_packed": _SNAPSHOT_SQL,
+        "cdc_ddl_barrier": _DDL_BARRIER_SQL,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

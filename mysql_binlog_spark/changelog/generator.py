@@ -36,12 +36,13 @@ EVENT_SCHEMA = pa.schema(
         pa.field("seq", pa.int64(), nullable=False),
         pa.field("repo", pa.string(), nullable=False),
         pa.field("path", pa.string(), nullable=False),
-        pa.field("op", pa.string(), nullable=False),  # 'I' | 'U' | 'D'
+        pa.field("op", pa.string(), nullable=False),  # 'I' | 'U' | 'D' | 'Q'
         pa.field("commit", pa.string(), nullable=False),  # 40-hex
         pa.field("lang", pa.string(), nullable=True),
         pa.field("content", pa.string(), nullable=True),  # null when op='D'
         pa.field("before_content", pa.string(), nullable=True),  # null when op='I'
         pa.field("new_path", pa.string(), nullable=True),  # non-null on rename
+        pa.field("statement", pa.string(), nullable=True),  # non-null when op='Q'
     ]
 )
 
@@ -67,6 +68,12 @@ class ChangelogSpec:
     p_update: float = 0.35
     p_delete: float = 0.10
     p_rename: float = 0.05
+    #: probability a slot becomes a DDL QUERY event (op='Q'): TRUNCATE /
+    #: DROP TABLE / RENAME TABLE (repo-level) / ALTER noise, with the
+    #: statement rendered in the format variants the reference's regex
+    #: layer must handle (common/regx/regular_test.go). 0 by default so
+    #: non-DDL fixtures/benches are unchanged.
+    p_ddl: float = 0.0
 
     @property
     def evolution_seq(self) -> int:
@@ -133,6 +140,7 @@ def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
     state = _KeyState()
     path_counter: dict[str, int] = {}
     dead_pool: list[tuple[str, str]] = []  # candidates for re-insert
+    renamed_counter = 0
 
     cols: dict[str, list] = {name: [] for name in EVENT_SCHEMA.names}
 
@@ -142,7 +150,7 @@ def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
         ext = _EXTENSIONS[c % len(_EXTENSIONS)][0]
         return f"src/dir{c % 7}/file_{c:06d}.{ext}"
 
-    def emit(seq, repo, path, op, commit, lang, content, before, npath):
+    def emit(seq, repo, path, op, commit, lang, content, before, npath, stmt=None):
         cols["seq"].append(seq)
         cols["repo"].append(repo)
         cols["path"].append(path)
@@ -152,22 +160,107 @@ def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
         cols["content"].append(content)
         cols["before_content"].append(before)
         cols["new_path"].append(npath)
+        cols["statement"].append(stmt)
 
+    def fmt_table(repo: str) -> str:
+        """Render a table name in one of the quoting/qualification variants
+        the reference's regex layer handles (regular_test.go cases)."""
+        style = rnd.randrange(6)
+        return [
+            f"`{repo}`",
+            repo,
+            f"main.{repo}",
+            f"`main`.`{repo}`",
+            f"`main.{repo}`",
+            f"main.`{repo}`",
+        ][style]
+
+    def truncate_repo_state(repo: str) -> None:
+        for k in [k for k in state.keys if k[0] == repo]:
+            state.remove(k)
+            dead_pool.append(k)
+
+    def rename_repo_state(old: str, new: str) -> None:
+        for k in [k for k in state.keys if k[0] == old]:
+            content, ver = state.content[k], state.version[k]
+            state.remove(k)
+            state.add((new, k[1]), content, ver)
+        for lst in (hot, cold):
+            if old in lst:
+                lst[lst.index(old)] = new
+        if old in path_counter:
+            path_counter[new] = path_counter.pop(old)
+
+    def emit_ddl(seq: int, commit: str) -> None:
+        nonlocal renamed_counter
+        live_repos = sorted({k[0] for k in state.keys})
+        target = rnd.choice(live_repos) if live_repos else rnd.choice(hot + cold)
+        choice = rnd.random()
+        if choice < 0.30:  # TRUNCATE
+            stmt = rnd.choice(["TRUNCATE TABLE ", "truncate ", "TRUNCATE  TABLE  "])
+            stmt += fmt_table(target)
+            truncate_repo_state(target)
+        elif choice < 0.45:  # DROP
+            stmt = rnd.choice(
+                ["DROP TABLE ", "drop table ", "DROP TABLE IF EXISTS ",
+                 "DROP   table  if exists "]
+            )
+            stmt += fmt_table(target)
+            if rnd.random() < 0.3:
+                stmt += " /* generated by server */"
+            truncate_repo_state(target)
+        elif choice < 0.70:  # RENAME (sometimes multi-pair)
+            pairs = []
+            n_pairs = 2 if (rnd.random() < 0.3 and len(live_repos) >= 2) else 1
+            olds = rnd.sample(live_repos, n_pairs) if live_repos else [target]
+            for old in olds[:n_pairs]:
+                new = f"repo-rn{renamed_counter:04d}"
+                renamed_counter += 1
+                pairs.append(f"{fmt_table(old)} TO {fmt_table(new)}")
+                rename_repo_state(old, new)
+            head = rnd.choice(["RENAME TABLE ", "rename table ", "RENAME  TABLE "])
+            stmt = head + ", ".join(pairs)
+        else:  # barrier-only noise (ALTER / CREATE / CREATE INDEX)
+            stmt = rnd.choice(
+                [
+                    f"ALTER TABLE {fmt_table(target)} ADD `lang` VARCHAR(32) NULL",
+                    f"ALTER TABLE {fmt_table(target)} ADD COLUMN score INT DEFAULT 0",
+                    f"CREATE TABLE IF NOT EXISTS {fmt_table(target)} (`id` bigint(20) NOT NULL)",
+                    f"CREATE INDEX k_1 ON {fmt_table(target)}(path)",
+                ]
+            )
+        # multi-statement form: occasionally bundle a txn-control no-op or
+        # a second harmless DDL in the same QUERY event (reference splits
+        # on ';', backup/handler/merge.go:147-166)
+        if rnd.random() < 0.2:
+            stmt = rnd.choice(
+                [
+                    stmt + f"; ALTER TABLE {fmt_table(target)} ADD x INT",
+                    "SAVEPOINT sp1; " + stmt,
+                ]
+            )
+        emit(seq, target, "", "Q", commit, None, None, None, None, stmt)
+
+    p_ddl = spec.p_ddl
     for seq in range(spec.n_events):
         commit = _commit_for(spec.seed, seq)
         r = rnd.random()
         if len(state) == 0:
             op = "I"
-        elif r < spec.p_insert:
+        elif r < p_ddl:
+            op = "Q"
+        elif r < p_ddl + spec.p_insert:
             op = "I"
-        elif r < spec.p_insert + spec.p_update:
+        elif r < p_ddl + spec.p_insert + spec.p_update:
             op = "U"
-        elif r < spec.p_insert + spec.p_update + spec.p_delete:
+        elif r < p_ddl + spec.p_insert + spec.p_update + spec.p_delete:
             op = "D"
         else:
             op = "R"  # rename: emitted as op='U' with new_path
 
-        if op == "I":
+        if op == "Q":
+            emit_ddl(seq, commit)
+        elif op == "I":
             repo = rnd.choice(hot) if rnd.random() < spec.hot_weight else rnd.choice(cold)
             if dead_pool and rnd.random() < 0.2:
                 key = dead_pool.pop(rnd.randrange(len(dead_pool)))

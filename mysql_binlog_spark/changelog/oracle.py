@@ -13,11 +13,41 @@ evidence of correctness, not of shared bugs.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterable, Mapping
 
 import pandas as pd
 
 SNAPSHOT_COLUMNS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+# --- independent (deliberately minimal) DDL interpretation -----------------
+# Shares no code with operators.ddl: the oracle re-derives the semantics of
+# the generator's statement formats from scratch.
+
+_O_NAME = r"`?(?:main\s*`?\s*\.\s*)?`?([A-Za-z0-9_\-]+)`?"
+_O_TRUNC = re.compile(r"^\s*TRUNCATE\s+(?:TABLE\s+)?" + _O_NAME, re.I)
+_O_DROP = re.compile(r"^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?" + _O_NAME, re.I)
+_O_RENAME = re.compile(r"^\s*RENAME\s+TABLE\s+(.*)$", re.I | re.S)
+_O_PAIR = re.compile(_O_NAME + r"\s+TO\s+" + _O_NAME, re.I)
+
+
+def _oracle_ddl_effects(statement: str):
+    """Yield ('truncate', repo) / ('rename', old, new) for one QUERY
+    payload; ALTER/CREATE/txn-control have no state effect."""
+    for part in statement.split(";"):
+        s = part.strip()
+        if not s:
+            continue
+        m = _O_TRUNC.match(s) or _O_DROP.match(s)
+        if m:
+            yield ("truncate", m.group(1))
+            continue
+        m = _O_RENAME.match(s)
+        if m:
+            for seg in m.group(1).split(","):
+                pm = _O_PAIR.search(seg)
+                if pm:
+                    yield ("rename", pm.group(1), pm.group(2))
 
 
 def replay_oracle(events: Iterable[Mapping]) -> dict[tuple[str, str], dict]:
@@ -47,6 +77,17 @@ def replay_oracle(events: Iterable[Mapping]) -> dict[tuple[str, str], dict]:
             }
         elif op == "D":
             state.pop(key, None)
+        elif op == "Q":
+            # DDL: truncate/drop clears the repo's keys; rename re-keys
+            # them (last-writer-wins if the target somehow collides)
+            for eff in _oracle_ddl_effects(ev.get("statement") or ""):
+                if eff[0] == "truncate":
+                    for k in [k for k in state if k[0] == eff[1]]:
+                        del state[k]
+                else:
+                    _, old, new = eff
+                    for k in [k for k in state if k[0] == old]:
+                        state[(new, k[1])] = state.pop(k)
         else:  # pragma: no cover
             raise ValueError(f"bad op {op!r}")
     return state

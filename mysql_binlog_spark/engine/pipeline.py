@@ -67,6 +67,43 @@ def plan_epochs(max_seq: int, epoch_size: int, start_seq: int = -1) -> list[tupl
     return epochs
 
 
+def plan_entries(max_seq: int, epoch_size: int, ddl_ops=()) -> list[tuple]:
+    """Epoch plan with flush-before-DDL barriers (SURVEY §2.9 T8).
+
+    Returns ordered entries ('merge', id, lo, hi) and ('ddl', id, DdlOp):
+    merge ranges are cut at every DDL seq so all row events below a DDL
+    are committed before the DDL applies (reference
+    backup/handler/merge.go:147-166 flushes affected tables first).
+
+    Ids are ordinal positions in the plan — deterministic because the
+    plan is a pure function of (max_seq, epoch_size, DDL set), all of
+    which a resumed run recomputes identically from the same changelog.
+    With no DDL the ids coincide with the seq-grid ids of
+    ``plan_epochs``.
+    """
+    ddl = sorted(ddl_ops, key=lambda o: o.seq)
+    entries: list[tuple] = []
+    eid, lo, i = 0, -1, 0
+    while lo < max_seq or i < len(ddl):
+        # every DDL whose row events are all committed applies now
+        while i < len(ddl) and ddl[i].seq <= lo + 1:
+            entries.append(("ddl", eid, ddl[i]))
+            eid += 1
+            i += 1
+        if lo >= max_seq:
+            continue
+        hi = min(lo + epoch_size, max_seq)
+        if i < len(ddl):
+            hi = min(hi, ddl[i].seq - 1)
+        if hi > lo:
+            entries.append(("merge", eid, lo, hi))
+            eid += 1
+            lo = hi
+        # else: hi == lo means the next DDL sits at lo+1 — the inner
+        # while consumes it on the next iteration (no rows in between)
+    return entries
+
+
 def _read_events(spark: SparkSession, events_path: str) -> DataFrame:
     # canonical-schema read (sources.read_changelog): files written before
     # an additive column existed surface it as NULL instead of failing or
@@ -90,6 +127,8 @@ def run_ingest(
     (the reference analog: kill -9 between flushes; position table says
     where to restart, common/db/mysql.go:198-226).
     """
+    from mysql_binlog_spark.operators.ddl import extract_ddl_ops
+
     t0 = time.monotonic()
     events = _read_events(spark, events_path)
     if max_seq is None:
@@ -97,19 +136,41 @@ def run_ingest(
         if max_seq is None:
             return IngestReport(0, 0, 0, 0)
 
-    hwm = table.high_watermark()
+    # DDL events (rare, metadata-scale) define flush barriers; with none
+    # present the plan degenerates to the plain seq grid
+    ddl_ops = extract_ddl_ops(events)
+    entries = plan_entries(max_seq, epoch_size, ddl_ops)
+
     applied = set(table.epochs_applied())
-    epochs = [e for e in plan_epochs(max_seq, epoch_size) if e[0] not in applied]
-    # resume: also skip ranges entirely below the committed high-watermark
-    epochs = [e for e in epochs if e[2] > hwm]
+    row_events = events.filter(F.col("op") != "Q")
 
     report = IngestReport(0, 0, 0, 0)
-    for epoch_id, lo, hi in epochs:
+    for entry in entries:
+        if entry[1] in applied:
+            report.epochs_skipped += 1
+            continue
         if stop_after_epochs is not None and report.epochs_run >= stop_after_epochs:
             break
-        ev = events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
-        batch = collapse_latest(expand_renames(ev))
-        res = table.merge(batch, epoch=epoch_id)
+        if entry[0] == "merge":
+            _kind, epoch_id, lo, hi = entry
+            ev = row_events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
+            batch = collapse_latest(expand_renames(ev))
+            res = table.merge(batch, epoch=epoch_id)
+        else:
+            _kind, epoch_id, op = entry
+            if op.action in ("truncate", "drop", "rename"):
+                res = table.apply_repo_ddl(
+                    epoch_id, op.action, op.repo, new_repo=op.new_repo
+                )
+            else:
+                # CREATE/ALTER/CREATE INDEX: barrier only — commit an
+                # empty fenced epoch so the plan position is durable
+                res = table.merge(
+                    spark.createDataFrame(
+                        [], "repo string, path string, seq long, op string"
+                    ),
+                    epoch=epoch_id,
+                )
         report.merges.append(res)
         if res.committed:
             report.epochs_run += 1

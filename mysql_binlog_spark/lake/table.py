@@ -553,10 +553,20 @@ class LakeTable:
                 .collect()
             ]
             touched = sorted(set(src_buckets) | set(tgt_buckets))
-            new_state = (
+            combined = (
                 self.read_state(buckets=touched)
                 .filter(F.col("repo") != repo)
                 .unionByName(moved, allowMissingColumns=True)
+            )
+            # a rename INTO an existing repo can collide on (repo, path):
+            # resolve by the engine-wide last-writer-wins rule (newest seq)
+            payload = [c for c in combined.columns if c not in KEY_COLS]
+            new_state = (
+                combined.groupBy(*KEY_COLS)
+                .agg(F.max_by(F.struct(*payload), "seq").alias("_w"))
+                .select(
+                    *KEY_COLS, *[F.col(f"_w.{c}").alias(c) for c in payload]
+                )
                 .withColumn("bucket", bucket_expr(self.n_buckets))
             )
             d_rows = affected.select(

@@ -68,7 +68,12 @@ def expand_renames(events: DataFrame) -> DataFrame:
     """
     is_rename = F.col("new_path").isNotNull() & (F.col("op") == "U")
     null_s = F.lit(None).cast("string")
-    plain = events.filter(~is_rename).select(
+    # event-type dispatch (F1): only row events flow into the collapse —
+    # DDL ('Q') and any txn-control analogs are handled upstream
+    # (engine.pipeline barriers / operators.ddl), mirroring the
+    # reference's 35-way switch acting only on rows events
+    # (backup/handler/merge.go:134-254)
+    plain = events.filter(~is_rename & F.col("op").isin("I", "U", "D")).select(
         "seq",
         F.lit(0).alias("sub"),
         "repo",

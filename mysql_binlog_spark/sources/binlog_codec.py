@@ -11,11 +11,12 @@ via mapInPandas** — one Python call per ~10k records, zero per-row Python
 
 Record layout (little-endian), one event per record:
 
-    u64 seq | u8 op ('I'/'U'/'D') | u8 flags | 6x u32 field lengths
-    | repo | path | commit | lang | content | before_content  (utf-8)
+    u64 seq | u8 op ('I'/'U'/'D'/'Q') | u8 flags | 8x u32 field lengths
+    | repo | path | commit | lang | content | before_content | new_path
+    | statement  (utf-8)
 
-``flags`` bit i set => field i is NULL (lang/content/before_content/new_path
-nullability); new_path is folded into field 5 storage when flag bit 3 set.
+``flags`` bit i set => nullable field i is NULL (lang / content /
+before_content / new_path / statement).
 A deliberate echo of the reference's column-present/null bitmaps
 (row_event.go:340-365) without copying its format.
 """
@@ -36,11 +37,16 @@ PACKED_SCHEMA = T.StructType(
     ]
 )
 
-_FIELDS = ["repo", "path", "commit", "lang", "content", "before_content", "new_path"]
+_FIELDS = [
+    "repo", "path", "commit", "lang", "content",
+    "before_content", "new_path", "statement",
+]
 # null-bitmap positions for the nullable fields
-_NULLABLE = {"lang": 0, "content": 1, "before_content": 2, "new_path": 3}
+_NULLABLE = {"lang": 0, "content": 1, "before_content": 2, "new_path": 3, "statement": 4}
 
 _HEAD = struct.Struct("<QBB")  # seq, op, flags
+_N_FIELDS = len(_FIELDS)
+_LENS = struct.Struct(f"<{_N_FIELDS}I")
 
 
 def _pack_one(row) -> bytes:
@@ -54,7 +60,7 @@ def _pack_one(row) -> bytes:
         else:
             vals.append((v or "").encode("utf-8"))
     head = _HEAD.pack(int(row["seq"]), ord(row["op"]), flags)
-    lens = struct.pack("<7I", *[len(v) for v in vals])
+    lens = _LENS.pack(*[len(v) for v in vals])
     return head + lens + b"".join(vals)
 
 
@@ -71,13 +77,18 @@ def encode_packed_df(events: DataFrame) -> DataFrame:
     """Distributed encoder: typed changelog DataFrame -> packed binary
     records, via Arrow-batched mapInPandas (mirror of the decode side; no
     driver collect, no shuffle — encodes partition-locally)."""
-    cols = ["seq", "op", *_FIELDS]
+    from pyspark.sql import functions as F
+
+    sel = [
+        F.col(c) if c in events.columns else F.lit(None).cast("string").alias(c)
+        for c in ["seq", "op", *_FIELDS]
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield encode_packed_events(pdf)
 
-    return events.select(*cols).mapInPandas(run, schema=PACKED_SCHEMA)
+    return events.select(*sel).mapInPandas(run, schema=PACKED_SCHEMA)
 
 
 def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -89,8 +100,8 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for rec in pdf["record"]:
         b = bytes(rec)
         seq, op, flags = _HEAD.unpack_from(b, 0)
-        lens = struct.unpack_from("<7I", b, _HEAD.size)
-        off = _HEAD.size + 28
+        lens = _LENS.unpack_from(b, _HEAD.size)
+        off = _HEAD.size + _LENS.size
         out["seq"].append(seq)
         out["op"].append(chr(op))
         for i, f in enumerate(_FIELDS):

@@ -15,7 +15,8 @@ from pyspark.sql import functions as F
 #: canonical changelog schema (input_hint shape + ordering/rename columns)
 EVENT_DDL = (
     "seq long, op string, repo string, path string, commit string, "
-    "lang string, content string, before_content string, new_path string"
+    "lang string, content string, before_content string, new_path string, "
+    "statement string"
 )
 
 

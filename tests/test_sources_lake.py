@@ -24,7 +24,7 @@ from mysql_binlog_spark.sources.changelog_source import (
 
 EV_COLS = [
     "seq", "op", "repo", "path", "commit", "lang",
-    "content", "before_content", "new_path",
+    "content", "before_content", "new_path", "statement",
 ]
 
 
