@@ -338,6 +338,100 @@ def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
 
 
 # --------------------------------------------------------------------------
+# typed changelog (C9/S3 — full column-type decode through the wire codec)
+# --------------------------------------------------------------------------
+
+
+def _typed_changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic TYPED change stream from `events`: int64/int32,
+    decimal(12,4), double, timestamp, date, bit-set, JSON text, blob —
+    every 7th event nulls the typed payloads (null-bitmap coverage)."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.col("event_id")
+    m = seq % 20
+    op = (
+        F.when(m < 10, F.lit("I"))
+        .when(m < 16, F.lit("U"))
+        .when(m < 19, F.lit("D"))
+        .otherwise(F.lit("U"))
+    )
+    isnull = seq % 7 == 0
+
+    def nn(c, typ):
+        return F.when(isnull, F.lit(None).cast(typ)).otherwise(c)
+
+    return ev.select(
+        seq.alias("seq"),
+        op.alias("op"),
+        F.concat(F.lit("r"), (F.col("user_id") % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), (F.col("user_id") % 400).cast("string")).alias("path"),
+        F.md5(seq.cast("string")).alias("commit"),
+        nn((seq * 37) % 100000007 - 50000003, "long").alias("size_bytes"),
+        nn((seq % 512 - 256).cast("int"), "int").alias("mode"),
+        nn(
+            F.expr(
+                "CAST(CAST(event_id % 864000 AS DECIMAL(16,4)) / 10000 "
+                "AS DECIMAL(12,4))"
+            ),
+            "decimal(12,4)",
+        ).alias("score"),
+        nn((seq % 997).cast("double") / F.lit(997.0), "double").alias("ratio"),
+        nn(F.timestamp_seconds(F.lit(1_600_000_000) + seq), "timestamp").alias(
+            "mtime"
+        ),
+        nn(
+            F.date_add(F.to_date(F.lit("2020-01-01")), (seq % 3650).cast("int")),
+            "date",
+        ).alias("mdate"),
+        nn(seq % 251, "long").alias("flags_bits"),
+        nn(
+            F.concat(F.lit('{"k":'), (seq % 100).cast("string"), F.lit("}")),
+            "string",
+        ).alias("meta"),
+        nn(F.unhex(F.md5(seq.cast("string"))), "binary").alias("raw"),
+        F.concat(F.col("event_type"), F.lit(":"), seq.cast("string")).alias(
+            "content"
+        ),
+    )
+
+
+def q_cdc_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: the typed wire-codec round trip — encode the typed changelog to
+    packed binary records (mapInPandas), write, read back, decode, and
+    project every typed column into an engine-portable form. The oracle
+    computes the same values directly from `events`, so any loss or skew
+    anywhere in the codec breaks the hash match (reference full-type
+    decode: row_event.go:395-540, 571-814)."""
+    from mysql_binlog_spark.sources.typed_codec import (
+        decode_typed_events,
+        encode_typed_events,
+    )
+
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_typed_"), "packed")
+    encode_typed_events(_typed_changelog_df(spark, sf_dir)).write.mode(
+        "overwrite"
+    ).parquet(path)
+    dec = decode_typed_events(spark.read.parquet(path))
+    return dec.filter(F.col("seq") % 16 == 0).select(
+        "seq",
+        "op",
+        "repo",
+        "path",
+        "commit",
+        "size_bytes",
+        "mode",
+        F.col("score").cast("double").alias("score_d"),
+        "ratio",
+        F.unix_micros(F.col("mtime")).alias("mtime_us"),
+        F.col("mdate").cast("string").alias("mdate_s"),
+        "flags_bits",
+        "meta",
+        F.lower(F.hex("raw")).alias("raw_hex"),
+        "content",
+    )
+
+
+# --------------------------------------------------------------------------
 # DDL barrier fixture: deterministic DDL events injected into the derived
 # changelog (C7/T8 — statement parse + truncate/drop/rename semantics)
 # --------------------------------------------------------------------------
@@ -818,6 +912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
+        "cdc_decode_typed": q_cdc_decode_typed,
         "cdc_ddl_barrier": q_cdc_ddl_barrier,
         # --- relational coverage (scan/filter/agg/join/window) ---
         "pricing_summary": q_pricing_summary,
@@ -961,6 +1056,36 @@ SELECT repo, path,
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_decode_packed": _SNAPSHOT_SQL,
+        "cdc_decode_typed": """
+SELECT event_id AS seq,
+       CASE WHEN event_id % 20 < 10 THEN 'I'
+            WHEN event_id % 20 < 16 THEN 'U'
+            WHEN event_id % 20 < 19 THEN 'D'
+            ELSE 'U' END AS op,
+       'r' || CAST(user_id % 7 AS VARCHAR) AS repo,
+       'p' || CAST(user_id % 400 AS VARCHAR) AS path,
+       md5(CAST(event_id AS VARCHAR)) AS "commit",
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE (event_id * 37) % 100000007 - 50000003 END AS size_bytes,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(event_id % 512 - 256 AS INT) END AS mode,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(event_id % 864000 AS DOUBLE) / 10000 END AS score_d,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(event_id % 997 AS DOUBLE) / 997.0 END AS ratio,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE (1600000000 + event_id) * 1000000 END AS mtime_us,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(DATE '2020-01-01' + CAST(event_id % 3650 AS INT)
+                      AS VARCHAR) END AS mdate_s,
+       CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 251 END AS flags_bits,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE '{"k":' || CAST(event_id % 100 AS VARCHAR) || '}' END AS meta,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE md5(CAST(event_id AS VARCHAR)) END AS raw_hex,
+       event_type || ':' || CAST(event_id AS VARCHAR) AS content
+FROM events WHERE event_id % 16 = 0
+""",
         "cdc_ddl_barrier": _DDL_BARRIER_SQL,
         "pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -145,10 +145,16 @@ def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
     cols: dict[str, list] = {name: [] for name in EVENT_SCHEMA.names}
 
     def new_path(repo: str) -> str:
-        c = path_counter.get(repo, 0)
-        path_counter[repo] = c + 1
-        ext = _EXTENSIONS[c % len(_EXTENSIONS)][0]
-        return f"src/dir{c % 7}/file_{c:06d}.{ext}"
+        # skip names that are currently live: a renamed-away repo takes its
+        # path counter with it, so an implicitly re-created repo (dead-key
+        # re-insert) restarts numbering and could otherwise collide
+        while True:
+            c = path_counter.get(repo, 0)
+            path_counter[repo] = c + 1
+            ext = _EXTENSIONS[c % len(_EXTENSIONS)][0]
+            p = f"src/dir{c % 7}/file_{c:06d}.{ext}"
+            if (repo, p) not in state.pos:
+                return p
 
     def emit(seq, repo, path, op, commit, lang, content, before, npath, stmt=None):
         cols["seq"].append(seq)

@@ -70,16 +70,24 @@ _VAR_FIELDS = ["repo", "path", "commit", "meta", "raw", "content"]
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
+def _is_null(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))  # catches NaN AND NaT
+    except (TypeError, ValueError):
+        return False  # non-scalar (e.g. bytes)
+
+
 def _pack_row(r: dict) -> bytes:
     nulls = 0
 
     def fx(name, conv, default=0):
         nonlocal nulls
-        v = r[name]
-        if v is None or (isinstance(v, float) and pd.isna(v)):
+        if _is_null(r[name]):
             nulls |= 1 << _NULL_BITS[name]
             return default
-        return conv(v)
+        return conv(r[name])
 
     size_bytes = fx("size_bytes", int)
     mode = fx("mode", int)
@@ -92,8 +100,9 @@ def _pack_row(r: dict) -> bytes:
     var_vals = []
     for f in _VAR_FIELDS:
         v = r[f]
-        if v is None or (isinstance(v, float) and pd.isna(v)):
-            nulls |= 1 << _NULL_BITS[f]
+        if _is_null(v):
+            if f in _NULL_BITS:
+                nulls |= 1 << _NULL_BITS[f]
             var_vals.append(b"")
         elif f == "raw":
             var_vals.append(bytes(v))
@@ -126,7 +135,8 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         off = _FMT.size
 
         def nz(name, v):
-            return None if nulls & (1 << _NULL_BITS[name]) else v
+            bit = _NULL_BITS.get(name)
+            return None if bit is not None and nulls & (1 << bit) else v
 
         cols["seq"].append(seq)
         cols["op"].append(chr(op))

@@ -42,7 +42,8 @@ def test_snapshot_matches_oracle(spark, small_changelog):
 
 
 def _ev(seq, op, content=None, before=None, path="f", new_path=None):
-    return (seq, "r", path, op, f"{seq:040d}", None, content, before, new_path)
+    # trailing None = statement (row events carry no DDL payload)
+    return (seq, "r", path, op, f"{seq:040d}", None, content, before, new_path, None)
 
 
 CASES = [

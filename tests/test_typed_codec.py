@@ -1,0 +1,58 @@
+"""Typed wire-codec roundtrip (SURVEY §1.4 / §2.8 C9 — the reference's
+full column-type decode, row_event.go:395-540, 571-814)."""
+
+from __future__ import annotations
+
+import datetime
+from decimal import Decimal
+
+import pandas as pd
+
+from mysql_binlog_spark.sources.typed_codec import (
+    TYPED_EVENT_DDL,
+    decode_typed_events,
+    encode_typed_events,
+)
+
+
+def _fixture_df(spark):
+    rows = [
+        (
+            1, "I", "r1", "a/b.py", "c" * 32,
+            9_007_199_254_740_991, -256, Decimal("12345678.9999"), 0.1 + 0.2,
+            datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+            datetime.date(2029, 12, 31), (1 << 62) + 5, '{"k":1,"a":[1,2]}',
+            b"\x00\x01\xff\xfe", "hello é世界",
+        ),
+        # all-nullable-null row (null bitmap coverage)
+        (2, "D", "r1", "x", None, None, None, None, None,
+         None, None, None, None, None, None),
+        # negative / boundary numerics
+        (3, "U", "r2", "y", "d" * 32, -9_007_199_254_740_991, 2147483647,
+         Decimal("-0.0001"), -1.5e308, datetime.datetime(1970, 1, 1, 0, 0, 1),
+         datetime.date(1969, 7, 20), 0, "{}", b"", ""),
+    ]
+    return spark.createDataFrame(rows, TYPED_EVENT_DDL)
+
+
+def test_typed_roundtrip_lossless(spark):
+    src = _fixture_df(spark)
+    packed = encode_typed_events(src)
+    back = decode_typed_events(packed)
+    a = src.toPandas().sort_values("seq").reset_index(drop=True)
+    b = back.toPandas().sort_values("seq").reset_index(drop=True)[a.columns]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_typed_decode_stays_arrow_batched(spark):
+    """The decode is mapInPandas (ArrowEvalPython/MapInPandas node), not a
+    row-at-a-time Python UDF."""
+    packed = encode_typed_events(_fixture_df(spark))
+    plan = (
+        decode_typed_events(packed)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
