@@ -271,6 +271,69 @@ sh AS (
 )"""
 
 
+def _minhash_perm_values(num_perm: int = 16) -> str:
+    """(p, a, b) VALUES literals — same deterministic constants the Spark
+    side derives in dedup.minhash.perm_coeffs."""
+    from mysql_binlog_spark.dedup.minhash import perm_coeffs
+
+    rows = []
+    for p in range(num_perm):
+        a, b = perm_coeffs(p)
+        rows.append(f"({p}, {a}, {b})")
+    return "(VALUES " + ", ".join(rows) + ") perms(p, a, b)"
+
+
+def _simhash_sql() -> str:
+    """Portable simhash pipeline in DuckDB SQL: same md5-half hashes, bit
+    votes as SUM aggregates, chunk blocking, bit_count(xor) hamming."""
+    sums = ",\n         ".join(
+        f"CAST(sum((lo >> {i}) & 1) AS BIGINT) AS o{i}, "
+        f"CAST(sum((hi >> {i}) & 1) AS BIGINT) AS p{i}"
+        for i in range(32)
+    )
+    lo_asm = " + ".join(
+        f"(CASE WHEN 2*o{i} > n THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    hi_asm = " + ".join(
+        f"(CASE WHEN 2*p{i} > n THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM ex
+),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         {sums}
+  FROM h GROUP BY doc_id
+),
+sh AS (
+  SELECT doc_id, CAST({hi_asm} AS BIGINT) AS sh_hi,
+         CAST({lo_asm} AS BIGINT) AS sh_lo
+  FROM agg
+),
+ck AS (
+  SELECT doc_id, sh_hi, sh_lo, c,
+         CASE c WHEN 0 THEN sh_lo & 65535
+                WHEN 1 THEN (sh_lo >> 16) & 65535
+                WHEN 2 THEN sh_hi & 65535
+                ELSE (sh_hi >> 16) & 65535 END AS key
+  FROM sh, range(0, 4) r(c)
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sh_lo, b.sh_lo))
+              + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS hamming
+  FROM ck a JOIN ck b
+    ON a.c = b.c AND a.key = b.key AND a.doc_id < b.doc_id
+) t WHERE hamming <= 3
+"""
+
+
 def _minhash_band_sql(num_perm: int = 16, bands: int = 4) -> str:
     rows = num_perm // bands
     band_conds = []
@@ -812,8 +875,9 @@ def q_text_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    from mysql_binlog_spark.functions.text import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1204,9 +1268,12 @@ WHERE round(n_inter / (sa.n + sb.n - n_inter), 4) >= 0.3
         "dedup_minhash_lsh": f"""
 WITH {_SHINGLES_CTE},
 ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+xs AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM ex
+),
 mh AS (
-  SELECT doc_id, p, min(md5(CAST(p AS VARCHAR) || ':' || s)) AS h
-  FROM ex, range(0, 16) t(p)
+  SELECT doc_id, p, min((a * x + b) % 4294967291) AS h
+  FROM xs, {_minhash_perm_values(16)}
   GROUP BY doc_id, p
 ),
 sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM mh GROUP BY doc_id)
@@ -1240,6 +1307,64 @@ FROM cand e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """,
+        # IVF replicated end-to-end in SQL: deterministic seeds (vec_id
+        # 0..7), one distributed Lloyd step (mean per cell x dim), empty
+        # cells keep their seed, probe the 3 nearest refined centroids,
+        # exact re-rank inside probed cells. Tie rules mirror the Spark
+        # side exactly: assignment = max sim then max cell
+        # (F.array_max over struct), probe ranking = sim DESC then cell
+        # ASC (stable python sort).
+        "sim_ivf_topk": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT vec_id AS cell, v FROM e WHERE vec_id < 8),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sim0 AS (
+  SELECT e.vec_id, s.cell, {_COS.format(a="e.v", b="s.v")} AS sim
+  FROM e, seeds s
+),
+asg0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell DESC) AS rn
+    FROM sim0) t WHERE rn = 1
+),
+comp AS (
+  SELECT a.cell, i AS pos, e.v[i] AS x
+  FROM asg0 a JOIN e ON e.vec_id = a.vec_id, range(1, 65) r(i)
+),
+means AS (
+  SELECT cell, list(m ORDER BY pos) AS mv FROM (
+    SELECT cell, pos, avg(x) AS m FROM comp GROUP BY cell, pos) t
+  GROUP BY cell
+),
+cents AS (
+  SELECT s.cell, COALESCE(means.mv, s.v) AS cv
+  FROM seeds s LEFT JOIN means ON means.cell = s.cell
+),
+probes AS (
+  SELECT cell FROM (
+    SELECT c.cell, {_COS.format(a="c.cv", b="q.qv")} AS sim
+    FROM cents c, q) t
+  ORDER BY sim DESC, cell ASC LIMIT 3
+),
+sim1 AS (
+  SELECT e.vec_id, c.cell, {_COS.format(a="e.v", b="c.cv")} AS sim
+  FROM e, cents c
+),
+asg1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY sim DESC, cell DESC) AS rn
+    FROM sim1) t WHERE rn = 1
+),
+cand AS (
+  SELECT a.vec_id FROM asg1 a JOIN probes p ON a.cell = p.cell
+)
+SELECT e.vec_id, round({_COS.format(a="e.v", b="q.qv")}, 4) AS cosine
+FROM e JOIN cand USING (vec_id), q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
         "emb_near_dup": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT id_a, id_b, cosine FROM (
@@ -1255,7 +1380,53 @@ SELECT id_a, id_b, cosine FROM (
   FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 ) t WHERE cosine >= 0.4
 """,
-        # no oracle entries (rows-only checks, genuinely non-SQL):
-        # - dedup_simhash, text_fingerprint: xxhash64-based (JVM hash)
-        # - multimodal_*: binary payload plumbing via mapInPandas
+        "dedup_simhash": _simhash_sql(),
+        "multimodal_image_features": """
+WITH ids AS (
+  SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 120) t(i) WHERE i % 3 = 0
+),
+p AS (
+  SELECT media_id,
+         repeat(sha256('42:' || CAST(media_id AS VARCHAR)),
+                CAST(8 + media_id % 5 AS INT)) AS payload
+  FROM ids
+)
+SELECT media_id, CAST(length(payload) AS BIGINT) AS byte_len,
+       sha256(payload) AS payload_sha256
+FROM p
+""",
+        "multimodal_video_frames": """
+WITH ids AS (
+  SELECT CAST(i AS BIGINT) AS media_id FROM range(0, 120) t(i) WHERE i % 3 = 2
+),
+v AS (
+  SELECT media_id,
+         repeat(sha256('42:' || CAST(media_id AS VARCHAR)),
+                CAST(8 + media_id % 5 AS INT)) AS payload,
+         1000 * (media_id % 30) AS dur
+  FROM ids
+),
+f AS (SELECT media_id, payload, greatest(dur // 5000, 1) AS nf FROM v)
+SELECT media_id, CAST(fi AS INT) AS frame_index,
+       CAST(fi * 5000 AS BIGINT) AS frame_ts_ms,
+       sha256(payload || ':' || CAST(fi AS VARCHAR)) AS frame_sha256
+FROM f, range(0, 6) r(fi)  -- 6 = max frames at 29s / 5s; lateral range unsupported
+WHERE fi < nf
+""",
+        "text_fingerprint": f"""
+WITH toks AS (SELECT doc_id, list_distinct({toks}) AS t FROM documents),
+ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+h AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS hi,
+         CAST('0x' || substr(md5(tok), 9, 8) AS BIGINT) AS lo
+  FROM ex
+),
+agg AS (SELECT doc_id, bit_xor(hi) AS fhi, bit_xor(lo) AS flo
+        FROM h GROUP BY doc_id)
+SELECT d.doc_id,
+       lower(lpad(hex(COALESCE(fhi, 0)), 8, '0'))
+       || lower(lpad(hex(COALESCE(flo, 0)), 8, '0')) AS fingerprint
+FROM documents d LEFT JOIN agg USING (doc_id)
+""",
     }

@@ -4,14 +4,23 @@ simhash64(doc) = the 64-bit vector whose bit i is 1 iff the sum over tokens
 of sign(bit i of hash(token)) is positive. Near-duplicates have small
 Hamming distance between simhashes.
 
-Implemented as pure built-in expressions:
-- per-token 64-bit hash: xxhash64 (JVM-side);
-- per-bit +/-1 contributions folded with `aggregate` over the token array
-  and a 64-slot int array accumulator;
-- candidate generation: split the 64 bits into 4 x 16-bit chunks; docs
-  sharing any chunk are candidates (guarantees recall for Hamming
-  distance <= 3 — the Manku pigeonhole trick), then verify with exact
-  Hamming distance via bit_count(xor).
+Two implementations:
+
+- **portable halves (the default pair finder)**: per-token hash = two
+  32-bit words from md5(token); the 64 bit-vote sums run as explode +
+  codegen'd SUM aggregates (one shuffle, <=1 row per doc per partition
+  after partial agg) instead of 64 interpreted `aggregate` HOF folds —
+  faster AND reproducible in ANSI SQL ('0x'||substr(md5..) -> BIGINT),
+  which is how the DuckDB oracle cross-checks the full pipeline. The
+  sketch lives as (sh_hi, sh_lo) int64 halves so no engine touches the
+  sign bit of a single 64-bit value.
+- **xxhash64 + HOF fold** (``simhash64``): JVM-hash variant kept for
+  API compatibility and as the cheapest single-column sketch.
+
+Candidate generation (both): split the 64 bits into 4 x 16-bit chunks;
+docs sharing any chunk are candidates (guarantees recall for Hamming
+distance <= 3 — the Manku pigeonhole trick), then verify with exact
+Hamming distance via bit_count(xor).
 """
 
 from __future__ import annotations
@@ -21,6 +30,50 @@ from pyspark.sql import functions as F
 
 from mysql_binlog_spark.functions.text import tokens_expr
 from mysql_binlog_spark.util import spread
+
+
+def simhash_halves(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    weighted: bool = True,
+) -> DataFrame:
+    """(id, sh_hi, sh_lo) — the portable simhash as two int32-range longs.
+
+    Explode tokens -> one md5 per token -> 64 SUM bit-vote aggregates
+    (whole-stage codegen; map-side partial agg bounds the shuffle to one
+    row per doc per partition). Docs with zero tokens drop out (they have
+    no sketch to compare).
+    """
+    toked = spread(df, id_col).select(
+        F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
+    )
+    units = F.col("tk") if weighted else F.array_distinct(F.col("tk"))
+    ex = toked.select("id", F.explode(units).alias("tok"))
+    hx = ex.select(
+        "id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(32):
+        aggs.append(
+            F.sum(F.shiftright(F.col("lo"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
+        )
+        aggs.append(
+            F.sum(F.shiftright(F.col("hi"), i).bitwiseAND(F.lit(1))).alias(f"p{i}")
+        )
+    g = hx.groupBy("id").agg(*aggs)
+    lo_expr = F.lit(0).cast("long")
+    hi_expr = F.lit(0).cast("long")
+    for i in range(32):
+        lo_expr = lo_expr + F.when(
+            F.col(f"o{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        hi_expr = hi_expr + F.when(
+            F.col(f"p{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("id", hi_expr.alias("sh_hi"), lo_expr.alias("sh_lo"))
 
 
 def token_hashes(text: Column | str, weighted: bool = True) -> Column:
@@ -73,34 +126,26 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 3,
-    max_bucket_size: int = 1000,
+def _chunk_blocked_pairs(
+    sketches: DataFrame,
+    chunk_exprs: list[Column],
+    hamming: Column,
+    max_hamming: int,
+    max_bucket_size: int,
 ) -> DataFrame:
-    """(id_a < id_b, hamming) pairs with simhash Hamming distance <= k.
-
-    Blocking: 4 x 16-bit chunks — any pair within Hamming distance 3 shares
-    at least one intact chunk (pigeonhole), so recall is exact for k <= 3.
-    """
-    hashed = spread(df, id_col).select(
-        F.col(id_col).alias("id"), token_hashes(text_col).alias("hs")
-    )
-    sh = hashed.select("id", simhash_from_hashes(F.col("hs")).alias("sh"))
+    """Shared 16-bit-chunk blocking join: any pair within Hamming
+    distance 3 shares at least one intact chunk (pigeonhole), so recall
+    is exact for k <= 3. Buckets above ``max_bucket_size`` are dropped
+    (degenerate-content quadratic-blowup guard)."""
     chunks = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftright("sh", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
-            )
-            for c in range(4)
+            F.struct(F.lit(c).alias("chunk"), e.alias("key"))
+            for c, e in enumerate(chunk_exprs)
         ]
     )
-    blocked = sh.select("id", "sh", F.explode(chunks).alias("ck")).select(
-        "id", "sh", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
-    )
+    blocked = sketches.select("*", F.explode(chunks).alias("ck")).select(
+        "*", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    ).drop("ck")
     sizes = blocked.groupBy("chunk", "key").agg(F.count(F.lit(1)).alias("n"))
     ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket_size)).select(
         "chunk", "key"
@@ -117,8 +162,44 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+            hamming.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket_size: int = 1000,
+    variant: str = "portable",
+) -> DataFrame:
+    """(id_a < id_b, hamming) pairs with simhash Hamming distance <= k.
+
+    variant='portable' (default): md5-derived halves, oracle-checkable
+    and codegen'd; variant='xxhash': the JVM-hash HOF-fold sketch.
+    """
+    if variant == "portable":
+        sh = simhash_halves(df, text_col, id_col)
+        chunk_exprs = [
+            F.shiftright(F.col("sh_lo"), 0).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("sh_lo"), 16).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("sh_hi"), 0).bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(F.col("sh_hi"), 16).bitwiseAND(F.lit(0xFFFF)),
+        ]
+        ham = F.bit_count(
+            F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
+        ) + F.bit_count(F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi")))
+        return _chunk_blocked_pairs(sh, chunk_exprs, ham, max_hamming, max_bucket_size)
+    hashed = spread(df, id_col).select(
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("hs")
+    )
+    sh = hashed.select("id", simhash_from_hashes(F.col("hs")).alias("sh"))
+    chunk_exprs = [
+        F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF)) for c in range(4)
+    ]
+    ham = hamming64(F.col("a.sh"), F.col("b.sh"))
+    return _chunk_blocked_pairs(sh, chunk_exprs, ham, max_hamming, max_bucket_size)

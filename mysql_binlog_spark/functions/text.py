@@ -128,11 +128,43 @@ def char_ngrams(text: Column | str, n: int = 5) -> Column:
 
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive 64-bit content fingerprint: xor-fold of token
-    hashes (a rolling-hash analog that is expressible as pure SQL:
-    aggregate over xxhash64 of the distinct tokens)."""
+    hashes (xxhash64 — the cheapest JVM-side variant; see
+    ``doc_fingerprints`` for the engine-portable form)."""
     toks = F.array_distinct(tokens_expr(text))
     return F.aggregate(
         toks,
         F.lit(0).cast("long"),
         lambda acc, t: acc.bitwiseXOR(F.xxhash64(t)),
+    )
+
+
+def doc_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
+    """(doc_id, fingerprint) — order-insensitive 64-bit content
+    fingerprint as 16 hex chars, xor-folding two md5-derived 32-bit words
+    per distinct token.
+
+    Engine-portable by construction (md5 + integer xor are identical in
+    ANSI SQL), and the fold runs as a codegen'd ``bit_xor`` aggregate
+    after an explode — map-side partial aggregation keeps the shuffle at
+    one row per doc per partition. Zero-token docs fingerprint as all
+    zeros (left join back from the source).
+    """
+    base = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("tk"))
+    ex = base.select("doc_id", F.explode(F.array_distinct("tk")).alias("tok"))
+    hx = ex.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
+    )
+    agg = hx.groupBy("doc_id").agg(
+        F.expr("bit_xor(hi)").alias("fhi"), F.expr("bit_xor(lo)").alias("flo")
+    )
+    fp = F.concat(
+        F.lower(F.lpad(F.hex(F.coalesce(F.col("fhi"), F.lit(0))), 8, "0")),
+        F.lower(F.lpad(F.hex(F.coalesce(F.col("flo"), F.lit(0))), 8, "0")),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select("doc_id", fp.alias("fingerprint"))
     )

@@ -58,12 +58,19 @@ FRAME_SCHEMA = T.StructType(
 
 
 def make_media_df(spark: SparkSession, n: int = 100, seed: int = 42) -> DataFrame:
-    """Deterministic synthetic media table (payload = seeded pseudo-bytes)."""
+    """Deterministic synthetic media table.
+
+    Payloads are seeded pseudo-content carried as BinaryType (the real
+    column type for media); the generator emits hex-digit bytes so an
+    independent SQL oracle can reconstruct the identical byte string and
+    cross-check the content hashing downstream."""
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (8 + i % 5)
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).hexdigest().encode() * (
+            8 + i % 5
+        )
         rows.append(
             (
                 i,
@@ -137,7 +144,7 @@ def sample_video_frames(
                             "frame_index": fi,
                             "frame_ts_ms": fi * every_ms,
                             "frame_sha256": hashlib.sha256(
-                                payload + fi.to_bytes(4, "little")
+                                payload + f":{fi}".encode()
                             ).hexdigest(),
                         }
                     )
