@@ -663,6 +663,21 @@ def q_cdc_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_snapshot(table)
 
 
+def q_cdc_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/T1: the sec/min/hour/day-style cascade — collapse once at the
+    finest granularity, derive each coarser level from the finer one
+    (reference cascade flush backup/handler/merge.go:513-633). The oracle
+    computes every level DIRECTLY from raw events, so the cascade
+    structure itself is what gets verified."""
+    from mysql_binlog_spark.operators.rollup import cascade_summary
+
+    norm = expand_renames(_changelog_df(spark, sf_dir))
+    ev = norm.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_600_000_000) + F.col("seq") * 7)
+    )
+    return cascade_summary(ev)
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation; money math through DECIMAL for exactness."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1998-09-01")
@@ -930,6 +945,20 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1)
 
 
+def q_sim_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-LSH-layout path: embeddings written partitioned by
+    hyperplane bucket, probe query pruned to the probed partitions
+    (identical results to sim_lsh_topk — same oracle)."""
+    from mysql_binlog_spark.similarity.ann import lsh_topk_indexed, write_lsh_index
+
+    e = _emb_double(spark, sf_dir)
+    idx = os.path.join(tempfile.mkdtemp(prefix="lsh_idx_"), "idx")
+    write_lsh_index(e, idx, n_planes=8)
+    return lsh_topk_indexed(
+        spark, idx, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1
+    )
+
+
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         _emb_double(spark, sf_dir), threshold=0.4, blocked=False
@@ -974,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
         "cdc_version_diff": q_cdc_version_diff,
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
+        "cdc_rollup_cascade": q_cdc_rollup_cascade,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
         "cdc_decode_typed": q_cdc_decode_typed,
@@ -999,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search ---
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_lsh_topk_indexed": q_sim_lsh_topk_indexed,
         "sim_ivf_topk": q_sim_ivf_topk,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
@@ -1017,7 +1048,7 @@ def oracle_sql() -> dict[str, str]:
     band_or = _minhash_band_sql(16, 4)
     eq16 = "len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))"
 
-    return {
+    out = {
         "cdc_collapse_latest": _CDC_PREFIX
         + """
 SELECT repo, path, seq, op, "commit", lang, content, n_events
@@ -1107,6 +1138,33 @@ FROM old_s o FULL OUTER JOIN new_s n
   ON o.repo = n.repo AND o.path = n.path
 WHERE o.repo IS NULL OR n.repo IS NULL OR o.seq <> n.seq
 """,
+        # each granularity computed DIRECTLY from raw normalized events —
+        # independent of the Spark side's finer-to-coarser cascade
+        "cdc_rollup_cascade": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE},
+tev AS (
+  SELECT *, make_timestamp((1600000000 + seq * 7) * 1000000) AS ts
+  FROM normalized
+)
+"""
+        + "\nUNION ALL\n".join(
+            f"""
+SELECT '{gran}' AS gran, wstart, n_keys, n_events, max_seq, checksum FROM (
+  SELECT CAST(CAST(w AS TIMESTAMP) AS VARCHAR) AS wstart,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keys,
+         CAST(count(*) AS BIGINT) AS n_events,
+         max(seq) AS max_seq,
+         CAST(sum(CASE WHEN rn = 1 THEN
+              COALESCE(CAST('0x' || substr(md5(content), 1, 8) AS BIGINT), 0)
+              ELSE 0 END) AS BIGINT) AS checksum
+  FROM (
+    SELECT *, date_trunc('{gran}', ts) AS w,
+           row_number() OVER (PARTITION BY repo, path, date_trunc('{gran}', ts)
+                              ORDER BY seq DESC, sub DESC) AS rn
+    FROM tev) r
+  GROUP BY w) a_{gran}
+"""
+            for gran in ("minute", "hour", "day")
+        ),
         "cdc_repo_stats_salted": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE}
 SELECT repo, count(*) AS n_events, max(seq) AS hwm_seq,
        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
@@ -1430,3 +1488,6 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id)
 """,
     }
+    # the materialized-index probe returns exactly the scan-time LSH result
+    out["sim_lsh_topk_indexed"] = out["sim_lsh_topk"]
+    return out

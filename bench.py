@@ -44,18 +44,24 @@ BENCH_QUERIES = [
     "cdc_net_effect",
     "cdc_snapshot",
     "cdc_epoch_metrics",
+    "cdc_ddl_barrier",
+    "cdc_decode_typed",
+    "cdc_rollup_cascade",
     "pricing_summary",
     "nation_revenue",
     "top_orders_per_customer",
     "user_sessions",
     "text_token_stats",
     "text_quality_langid",
+    "text_fingerprint",
     "dedup_exact_groups",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_bruteforce_topk",
     "sim_lsh_topk",
+    "sim_lsh_topk_indexed",
+    "sim_ivf_topk",
     # emb_near_dup (exact quadratic self-join) stays in queries() as the
     # correctness baseline but is excluded here: it is deliberately O(n^2)
     # and would dominate the suite; emb_near_dup_lsh is the scale path

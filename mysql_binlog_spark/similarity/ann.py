@@ -104,23 +104,77 @@ def lsh_topk(
     partition-pruned scan of (n_planes+1)/2^n_planes of the data.
     """
     dim = len(query_vec)
+    probes = probe_buckets(query_vec, n_planes, multiprobe)
+    cand = df.filter(
+        hyperplane_bucket(F.col(vec_col), n_planes, dim).isin(*sorted(probes))
+    )
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the embeddings table PARTITIONED BY the hyperplane
+    bucket — the layout that turns every probe query into a
+    partition-pruned scan of (probes)/2^n_planes of the data instead of
+    recomputing buckets over a full scan per query. Buckets are
+    deterministic (md5-seeded hyperplanes), so the index never goes
+    stale relative to the query-side bucket math."""
+    (
+        df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+        .write.partitionBy("bucket")
+        .option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def query_bucket(query_vec: list[float], n_planes: int = 8) -> int:
     qbucket = 0
     for p in range(n_planes):
         proj = sum(q * _plane_sign_seed(p, d) for d, q in enumerate(query_vec))
         if proj >= 0:
             qbucket |= 1 << p
-    probes = {qbucket}
+    return qbucket
+
+
+def probe_buckets(
+    query_vec: list[float], n_planes: int = 8, multiprobe: int = 1
+) -> set[int]:
+    qb = query_bucket(query_vec, n_planes)
+    probes = {qb}
     if multiprobe >= 1:
-        probes |= {qbucket ^ (1 << p) for p in range(n_planes)}
+        probes |= {qb ^ (1 << p) for p in range(n_planes)}
     if multiprobe >= 2:
         probes |= {
-            qbucket ^ (1 << p) ^ (1 << q)
+            qb ^ (1 << p) ^ (1 << q)
             for p in range(n_planes)
             for q in range(p + 1, n_planes)
         }
-    cand = df.filter(
-        hyperplane_bucket(F.col(vec_col), n_planes, dim).isin(*probes)
-    )
+    return probes
+
+
+def lsh_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Probe a materialized LSH index: the bucket predicate lands on the
+    PARTITION column, so Catalyst prunes non-probed directories at
+    planning time — the scan reads only (n_planes+1)/2^n_planes of the
+    files (assert-able via PartitionFilters in the physical plan)."""
+    probes = probe_buckets(query_vec, n_planes, multiprobe)
+    df = spark.read.parquet(index_path)
+    cand = df.filter(F.col("bucket").isin(*sorted(probes)))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
@@ -177,16 +231,7 @@ def _nearest_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     return F.array_max(scored)["cell"]
 
 
-def ivf_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    centroids: list[list[float]],
-    k: int = 10,
-    nprobe: int = 4,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF search: scan only the nprobe cells nearest to the query."""
+def _rank_cells(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> set[int]:
     import math
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -198,7 +243,57 @@ def ivf_topk(
     ranked = sorted(
         range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
     )
-    probe = set(ranked[:nprobe])
+    return set(ranked[:nprobe])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: scan only the nprobe cells nearest to the query."""
+    probe = _rank_cells(query_vec, centroids, nprobe)
     cell = _nearest_cell_expr(F.col(vec_col), centroids)
-    cand = df.filter(cell.isin(*probe))
+    cand = df.filter(cell.isin(*sorted(probe)))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the table PARTITIONED BY IVF cell (coarse-quantizer
+    assignment). Batch queries then prune to their nprobe cell
+    directories instead of re-evaluating the assignment expression over
+    a full scan per query."""
+    cell = _nearest_cell_expr(F.col(vec_col), centroids)
+    (
+        df.withColumn("cell", cell)
+        .write.partitionBy("cell")
+        .option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a materialized IVF index (partition-pruned scan)."""
+    probe = _rank_cells(query_vec, centroids, nprobe)
+    df = spark.read.parquet(index_path)
+    cand = df.filter(F.col("cell").isin(*sorted(probe)))
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)

@@ -56,3 +56,50 @@ def test_ivf_recall_vs_brute_force(spark, emb, qvec):
 def test_no_python_in_ann_plan(spark, emb, qvec):
     df = brute_force_topk(emb, qvec, k=10)
     assert "EvalPython" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_index_partition_pruning(spark, emb, qvec, tmp_path):
+    """The materialized bucket layout makes probe queries partition-pruned:
+    the scan's PartitionFilters carry the bucket predicate and only the
+    probed bucket directories are read — same results as the scan-time
+    bucketing path."""
+    from mysql_binlog_spark.similarity.ann import (
+        lsh_topk_indexed,
+        probe_buckets,
+        write_lsh_index,
+    )
+
+    idx = str(tmp_path / "lsh_idx")
+    write_lsh_index(emb, idx, n_planes=6)
+    top_idx = lsh_topk_indexed(spark, idx, qvec, k=5, n_planes=6)
+    want = lsh_topk(emb, qvec, k=5, n_planes=6).toPandas()
+    got = top_idx.toPandas()
+    assert got.equals(want)
+
+    plan = top_idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # the scan touches only the probed partitions
+    probes = probe_buckets(qvec, n_planes=6, multiprobe=1)
+    import re
+
+    m = re.search(r"partition count: (\d+)", plan)
+    if m:  # Spark prints the pruned partition count in the scan node
+        assert int(m.group(1)) <= len(probes)
+
+
+def test_ivf_index_partition_pruning(spark, emb, qvec, tmp_path):
+    from mysql_binlog_spark.similarity.ann import ivf_topk_indexed, write_ivf_index
+
+    cents = ivf_build_centroids(emb, n_cells=8)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, cents)
+    got = ivf_topk_indexed(spark, idx, qvec, cents, k=10, nprobe=4).toPandas()
+    want = ivf_topk(emb, qvec, cents, k=10, nprobe=4).toPandas()
+    assert got.equals(want)
+    plan = (
+        ivf_topk_indexed(spark, idx, qvec, cents, k=10, nprobe=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "cell" in plan

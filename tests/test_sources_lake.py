@@ -202,6 +202,40 @@ def test_root_spelling_independence(spark, tmp_path):
         os.chdir(cwd)
 
 
+def test_hadoop_fs_io_path(spark, tmp_path):
+    """S9: the same table protocol runs through the JVM Hadoop FileSystem
+    when the root carries a URI scheme (file:// here; hdfs://, s3a://
+    identically) — manifest create, listing, reads, resume, vacuum."""
+    from mysql_binlog_spark.lake.io import HadoopTableIO
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=1500, seed=21))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+
+    root = f"file://{tmp_path}/hlake"
+    t = LakeTable(spark, root, n_buckets=4)
+    assert isinstance(t.io, HadoopTableIO)
+    run_ingest(spark, p, t, epoch_size=500)
+    n = t.read_state().count()
+    assert n > 0 and t.current_version() == 3
+
+    # reopen (adopting n_buckets from the manifest) + fenced replay
+    t2 = LakeTable(spark, root)
+    assert t2.n_buckets == 4
+    rep = run_ingest(spark, p, t2, epoch_size=500)
+    assert rep.epochs_run == 0 and t2.read_state().count() == n
+
+    # matches the same ingest through the local-POSIX io
+    t3 = LakeTable(spark, str(tmp_path / "llake"), n_buckets=4)
+    run_ingest(spark, p, t3, epoch_size=500)
+    a = table_snapshot(t2).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = table_snapshot(t3).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    removed = t2.vacuum(keep_versions=1)
+    assert removed and t2.read_state().count() == n
+
+
 def test_checkpoint_chain_across_manifests(spark, tmp_path):
     """Each manifest stores only its epoch's lineage rows; checkpoints()
     walks the chain and must still see every epoch."""
@@ -216,6 +250,29 @@ def test_checkpoint_chain_across_manifests(spark, tmp_path):
     # per-manifest delta: the newest manifest holds only its own epoch
     newest = t.read_manifest()
     assert {c["epoch"] for c in newest["checkpoints"]} == {newest["epoch"]}
+
+
+def test_incremental_diff_reads_only_change_files(spark, tmp_path):
+    """With change tracking on, diff(v_old, v_new) scans ONLY the
+    per-epoch change files of versions in between — never the table's
+    bucket data files — and equals the full-join diff."""
+    ev = generate_events_pandas(ChangelogSpec(n_events=4000, seed=22))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8, track_changes=True)
+    run_ingest(spark, p, t, epoch_size=1000)
+    assert t.current_version() == 4
+
+    d = t.diff(1, 3)
+    files = d.inputFiles()
+    assert files and all("/changes/" in f for f in files)
+    assert not any("/data/" in f for f in files)  # no full-snapshot scan
+    # only versions 2..3's change files, not 1's or 4's
+    vers = {f.split("/changes/")[1].split("-")[0] for f in files}
+    assert vers == {"v00000002", "v00000003"}
+    a = d.toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = t._diff_full(1, 3).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
 
 
 def test_version_diff(spark, tmp_path):
