@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.functions.text import tokens_expr, word_shingles_from_tokens
-from mysql_binlog_spark.util import spread
+from mysql_binlog_spark.util import explode_nonempty, spread
 
 
 def ngram_jaccard_pairs(
@@ -29,9 +29,8 @@ def ngram_jaccard_pairs(
     toked = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
     )
-    sh = toked.select(
-        "id",
-        F.explode(word_shingles_from_tokens(F.col("tk"), k)).alias("shingle"),
+    sh = explode_nonempty(
+        toked, word_shingles_from_tokens(F.col("tk"), k), "shingle", "id"
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("set_size"))
 

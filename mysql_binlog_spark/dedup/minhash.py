@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.functions.text import tokens_expr, word_shingles_from_tokens
-from mysql_binlog_spark.util import spread
+from mysql_binlog_spark.util import explode_nonempty, spread
 
 #: largest prime below 2^32 — the universal-hash modulus
 MERSENNEISH_P = 4_294_967_291
@@ -85,8 +85,10 @@ def minhash_signatures(
     # array_min(transform(...)): the hashing runs inside whole-stage
     # codegen (HOF lambdas are interpreted — ~10x slower for the same hash
     # count), and partial aggregation keeps the shuffle at <=1 row per doc
-    # per partition. Docs with no shingles (len < k tokens) drop out here.
-    ex = shingled.select("id", F.explode("sh").alias("s"))
+    # per partition. Docs with no shingles (len < k tokens) drop out here
+    # (explode_nonempty: the plain-explode form re-tokenized every doc
+    # per shingle via an inferred pushed-down filter).
+    ex = explode_nonempty(shingled, F.col("sh"), "s", "id")
     if variant == "universal":
         ex = ex.select("id", shingle_u32(F.col("s")).alias("x"))
         mins = []

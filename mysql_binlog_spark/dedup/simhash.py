@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mysql_binlog_spark.functions.text import tokens_expr
-from mysql_binlog_spark.util import spread
+from mysql_binlog_spark.util import explode_nonempty, spread
 
 
 def simhash_halves(
@@ -49,7 +49,7 @@ def simhash_halves(
         F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
     )
     units = F.col("tk") if weighted else F.array_distinct(F.col("tk"))
-    ex = toked.select("id", F.explode(units).alias("tok"))
+    ex = explode_nonempty(toked, units, "tok", "id")
     hx = ex.select(
         "id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),

@@ -149,8 +149,10 @@ def doc_fingerprints(df, text_col: str = "text", id_col: str = "doc_id"):
     one row per doc per partition. Zero-token docs fingerprint as all
     zeros (left join back from the source).
     """
+    from mysql_binlog_spark.util import explode_nonempty
+
     base = df.select(F.col(id_col).alias("doc_id"), tokens_expr(text_col).alias("tk"))
-    ex = base.select("doc_id", F.explode(F.array_distinct("tk")).alias("tok"))
+    ex = explode_nonempty(base, F.array_distinct("tk"), "tok", "doc_id")
     hx = ex.select(
         "doc_id",
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),

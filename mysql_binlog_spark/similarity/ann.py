@@ -126,6 +126,9 @@ def write_lsh_index(
     stale relative to the query-side bucket math."""
     (
         df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+        # cluster by bucket before the partitioned write: one file per
+        # bucket directory instead of (tasks x buckets) small files
+        .repartition("bucket")
         .write.partitionBy("bucket")
         .option("compression", "zstd")
         .mode("overwrite")
@@ -275,6 +278,7 @@ def write_ivf_index(
     cell = _nearest_cell_expr(F.col(vec_col), centroids)
     (
         df.withColumn("cell", cell)
+        .repartition("cell")
         .write.partitionBy("cell")
         .option("compression", "zstd")
         .mode("overwrite")
