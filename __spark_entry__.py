@@ -678,6 +678,36 @@ def q_cdc_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cascade_summary(ev)
 
 
+def q_cdc_multi_source_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-master / GTID-domain analog: the changelog sharded into two
+    upstream sources (repos by parity — disjoint key ownership), ingested
+    interleaved into ONE lake table with independent per-source fences;
+    output = per-source lineage from the committed checkpoints (rows in,
+    high watermark, non-empty epochs, upserts/deletes)."""
+    from mysql_binlog_spark.engine.pipeline import run_multi_source_ingest
+
+    base = _changelog_df(spark, sf_dir)
+    parity = F.substring("repo", 2, 10).cast("int") % 2
+    root = tempfile.mkdtemp(prefix="cdc_ms_")
+    paths = {}
+    for name, p in [("s0", 0), ("s1", 1)]:
+        path = os.path.join(root, f"{name}.parquet")
+        base.filter(parity == p).repartitionByRange(4, "seq").write.mode(
+            "overwrite"
+        ).parquet(path)
+        paths[name] = path
+    table = LakeTable(spark, os.path.join(root, "lake"), n_buckets=16)
+    run_multi_source_ingest(spark, paths, table, epoch_size=_EPOCH_SIZE)
+    cp = table.checkpoints()
+    return cp.groupBy("source").agg(
+        F.sum("rows_in").alias("rows_in"),
+        F.max("hwm_seq").alias("hwm_seq"),
+        F.countDistinct("epoch").alias("n_epochs"),
+        F.sum("rows_upserted").alias("rows_upserted"),
+        F.sum("rows_deleted").alias("rows_deleted"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style aggregation; money math through DECIMAL for exactness."""
     l = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") < "1998-09-01")
@@ -1004,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_version_diff": q_cdc_version_diff,
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_rollup_cascade": q_cdc_rollup_cascade,
+        "cdc_multi_source_hwm": q_cdc_multi_source_hwm,
         "cdc_binlog_export": q_cdc_binlog_export,
         "cdc_decode_packed": q_cdc_decode_packed,
         "cdc_decode_typed": q_cdc_decode_typed,
@@ -1137,6 +1168,28 @@ SELECT COALESCE(o.repo, n.repo) AS repo,
 FROM old_s o FULL OUTER JOIN new_s n
   ON o.repo = n.repo AND o.path = n.path
 WHERE o.repo IS NULL OR n.repo IS NULL OR o.seq <> n.seq
+""",
+        "cdc_multi_source_hwm": f"""WITH {_CHANGELOG_CTE}, {_NORMALIZED_CTE},
+src AS (
+  SELECT *, 's' || CAST(CAST(substr(repo, 2) AS INT) % 2 AS VARCHAR) AS source
+  FROM normalized
+),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY source, CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT),
+                   repo, path
+      ORDER BY seq DESC, sub DESC) AS rn
+  FROM src
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS rows_in,
+       max(seq) AS hwm_seq,
+       count(DISTINCT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT)) AS n_epochs,
+       CAST(sum(CASE WHEN rn = 1 AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_upserted,
+       CAST(sum(CASE WHEN rn = 1 AND op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_deleted
+FROM r GROUP BY source
 """,
         # each granularity computed DIRECTLY from raw normalized events —
         # independent of the Spark side's finer-to-coarser cascade

@@ -120,6 +120,7 @@ def run_ingest(
     epoch_size: int = 1_000_000,
     stop_after_epochs: int | None = None,
     max_seq: int | None = None,
+    source: str = "",
 ) -> IngestReport:
     """Apply all (remaining) events to ``table`` in epoch micro-batches.
 
@@ -141,7 +142,7 @@ def run_ingest(
     ddl_ops = extract_ddl_ops(events)
     entries = plan_entries(max_seq, epoch_size, ddl_ops)
 
-    applied = set(table.epochs_applied())
+    applied = set(table.epochs_applied(source))
     row_events = events.filter(F.col("op") != "Q")
 
     report = IngestReport(0, 0, 0, 0)
@@ -155,12 +156,13 @@ def run_ingest(
             _kind, epoch_id, lo, hi = entry
             ev = row_events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
             batch = collapse_latest(expand_renames(ev))
-            res = table.merge(batch, epoch=epoch_id)
+            res = table.merge(batch, epoch=epoch_id, source=source)
         else:
             _kind, epoch_id, op = entry
             if op.action in ("truncate", "drop", "rename"):
                 res = table.apply_repo_ddl(
-                    epoch_id, op.action, op.repo, new_repo=op.new_repo
+                    epoch_id, op.action, op.repo, new_repo=op.new_repo,
+                    source=source,
                 )
             else:
                 # CREATE/ALTER/CREATE INDEX: barrier only — commit an
@@ -170,6 +172,7 @@ def run_ingest(
                         [], "repo string, path string, seq long, op string"
                     ),
                     epoch=epoch_id,
+                    source=source,
                 )
         report.merges.append(res)
         if res.committed:
@@ -189,6 +192,89 @@ def recover(
 ) -> IngestReport:
     """Full replay from seq 0 (reference: recover/main.go:66-145)."""
     return run_ingest(spark, events_path, table, epoch_size=epoch_size)
+
+
+def run_multi_source_ingest(
+    spark: SparkSession,
+    sources: dict[str, str],
+    table: LakeTable,
+    epoch_size: int = 1_000_000,
+    interleave: bool = True,
+) -> dict[str, IngestReport]:
+    """Multi-master / sharded-upstream ingest (the GTID-domain analog,
+    reference common/inter/offset.go:24-33, mysql_gtid.go:342-384).
+
+    ``sources`` maps source name -> changelog path. Each source has its
+    own monotone seq space and an INDEPENDENT epoch fence + high
+    watermark in the lake (per-UUID GTID intervals); key spaces must be
+    sharded by source (one owner per table, like the reference's
+    one-backup-process-per-instance). ``interleave=True`` alternates one
+    epoch per source per round — the arrival pattern of concurrent
+    upstreams — and is equivalent to any other order because fences and
+    merges are per-source independent and keys are disjoint.
+    """
+    from mysql_binlog_spark.operators.ddl import extract_ddl_ops
+
+    reports = {name: IngestReport(0, 0, 0, 0, []) for name in sources}
+    if not interleave:
+        for name, path in sources.items():
+            reports[name] = run_ingest(
+                spark, path, table, epoch_size=epoch_size, source=name
+            )
+        return reports
+
+    # plan each source ONCE, then round-robin one plan entry per source
+    # per round (the arrival pattern of concurrent upstreams)
+    t0 = time.monotonic()
+    queues: dict[str, list] = {}
+    row_events: dict[str, DataFrame] = {}
+    for name, path in sources.items():
+        events = _read_events(spark, path)
+        max_seq = events.agg(F.max("seq")).collect()[0][0]
+        if max_seq is None:
+            queues[name] = []
+            continue
+        applied = set(table.epochs_applied(name))
+        entries = plan_entries(max_seq, epoch_size, extract_ddl_ops(events))
+        queues[name] = [e for e in entries if e[1] not in applied]
+        reports[name].epochs_skipped = len(entries) - len(queues[name])
+        row_events[name] = events.filter(F.col("op") != "Q")
+    while any(queues.values()):
+        for name, q in queues.items():
+            if not q:
+                continue
+            entry = q.pop(0)
+            if entry[0] == "merge":
+                _kind, epoch_id, lo, hi = entry
+                ev = row_events[name].filter(
+                    (F.col("seq") > lo) & (F.col("seq") <= hi)
+                )
+                res = table.merge(
+                    collapse_latest(expand_renames(ev)), epoch=epoch_id,
+                    source=name,
+                )
+            else:
+                _kind, epoch_id, op = entry
+                res = table.apply_repo_ddl(
+                    epoch_id, op.action, op.repo, new_repo=op.new_repo,
+                    source=name,
+                ) if op.action in ("truncate", "drop", "rename") else table.merge(
+                    spark.createDataFrame(
+                        [], "repo string, path string, seq long, op string"
+                    ),
+                    epoch=epoch_id,
+                    source=name,
+                )
+            rep = reports[name]
+            rep.merges.append(res)
+            if res.committed:
+                rep.epochs_run += 1
+                rep.events_in += res.rows_in
+            else:
+                rep.epochs_skipped += 1
+    for rep in reports.values():
+        rep.wall_ms = int((time.monotonic() - t0) * 1000)
+    return reports
 
 
 def snapshot_direct(spark: SparkSession, events_path: str) -> DataFrame:

@@ -81,6 +81,9 @@ CHECKPOINT_SCHEMA = T.StructType(
         T.StructField("rows_deleted", T.LongType(), True),
         T.StructField("wall_ms", T.LongType(), True),
         T.StructField("status", T.StringType(), False),
+        # GTID-domain analog: which upstream source this epoch came from
+        # ("" = the single-source default)
+        T.StructField("source", T.StringType(), True),
     ]
 )
 
@@ -218,26 +221,46 @@ class LakeTable:
     # (normally empty) sparse set above W. Epochs commit in id order in
     # every real run, so the manifest carries O(1) fence bytes instead of
     # the O(epochs) list that round 1 copied into every commit.
-
-    def _epoch_applied(self, manifest: dict, epoch: int) -> bool:
-        return epoch <= manifest.get("epoch_watermark", -1) or epoch in manifest.get(
-            "epochs_extra", []
-        )
+    #
+    # Multi-source (GTID-domain analog, reference
+    # common/inter/offset.go:24-33, mysql_gtid.go:342-384): each named
+    # source keeps an INDEPENDENT fence under ``source_fences`` — exactly
+    # like a GTID set tracking per-server-UUID applied intervals. The
+    # default source "" uses the top-level watermark fields.
 
     @staticmethod
-    def _advance_fence(manifest: dict, epoch: int) -> tuple[int, list[int]]:
-        wm = manifest.get("epoch_watermark", -1)
-        extra = set(manifest.get("epochs_extra", []))
+    def _fence_of(manifest: dict, source: str) -> tuple[int, list[int]]:
+        if source == "":
+            return manifest.get("epoch_watermark", -1), manifest.get(
+                "epochs_extra", []
+            )
+        f = manifest.get("source_fences", {}).get(source, {})
+        return f.get("wm", -1), f.get("extra", [])
+
+    def _epoch_applied(self, manifest: dict, epoch: int, source: str = "") -> bool:
+        wm, extra = self._fence_of(manifest, source)
+        return epoch <= wm or epoch in extra
+
+    @classmethod
+    def _advance_fence(
+        cls, manifest: dict, epoch: int, source: str = ""
+    ) -> tuple[int, list[int]]:
+        wm, extra_l = cls._fence_of(manifest, source)
+        extra = set(extra_l)
         extra.add(epoch)
         while wm + 1 in extra:
             wm += 1
             extra.discard(wm)
         return wm, sorted(extra)
 
-    def epochs_applied(self) -> list[int]:
-        m = self.read_manifest()
-        wm = m.get("epoch_watermark", -1)
-        return list(range(wm + 1)) + list(m.get("epochs_extra", []))
+    def epochs_applied(self, source: str = "") -> list[int]:
+        wm, extra = self._fence_of(self.read_manifest(), source)
+        return list(range(wm + 1)) + list(extra)
+
+    def sources(self) -> list[str]:
+        """Named sources that have committed epochs (the GTID-set's
+        server-UUID list analog)."""
+        return sorted(self.read_manifest().get("source_fences", {}).keys())
 
     def schema(self) -> T.StructType | None:
         m = self.read_manifest()
@@ -280,7 +303,9 @@ class LakeTable:
         manifests are immutable)."""
         rows: list[dict] = []
         for v in range(1, self.current_version() + 1):
-            rows.extend(self.read_manifest(v).get("checkpoints", []))
+            for r in self.read_manifest(v).get("checkpoints", []):
+                r.setdefault("source", "")
+                rows.append(r)
         return rows
 
     def checkpoints(self) -> DataFrame:
@@ -289,16 +314,21 @@ class LakeTable:
         'success' rows in the reference's position table)."""
         return self.spark.createDataFrame(self._checkpoint_rows(), CHECKPOINT_SCHEMA)
 
-    def high_watermark(self) -> int:
-        """Max seq applied across committed epochs (-1 if empty)."""
+    def high_watermark(self, source: str | None = None) -> int:
+        """Max seq applied across committed epochs (-1 if empty).
+        ``source`` restricts to one upstream's epochs — the per-UUID
+        GTID-set watermark analog."""
         hwms = [
-            c["hwm_seq"] for c in self._checkpoint_rows() if c["hwm_seq"] is not None
+            c["hwm_seq"]
+            for c in self._checkpoint_rows()
+            if c["hwm_seq"] is not None
+            and (source is None or c.get("source", "") == source)
         ]
         return max(hwms) if hwms else -1
 
     # ---------------- MERGE (the upsert join, SURVEY §2.6 J1) ----------------
 
-    def merge(self, batch: DataFrame, epoch: int) -> MergeResult:
+    def merge(self, batch: DataFrame, epoch: int, source: str = "") -> MergeResult:
         """Idempotent MERGE INTO: apply a collapsed batch to the table.
 
         ``batch`` must have one row per key: KEY_COLS + ('seq', 'op',
@@ -312,11 +342,15 @@ class LakeTable:
               WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *
 
         Exactly-once: if ``epoch`` is already fenced in the committed
-        manifest the call is a no-op (T4 in SURVEY §2.9).
+        manifest the call is a no-op (T4 in SURVEY §2.9). ``source`` keys
+        the fence: epochs from different upstream sources (GTID domains)
+        fence independently; their key spaces must be disjoint (sharded
+        upstream — one owner per table, like the reference's
+        one-backup-process-per-instance).
         """
         t0 = time.monotonic()
         manifest = self.read_manifest()
-        if self._epoch_applied(manifest, epoch):
+        if self._epoch_applied(manifest, epoch, source):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
 
         # persist: the batch feeds two actions (stats aggregation + the
@@ -343,7 +377,7 @@ class LakeTable:
         if not stats:
             # empty epoch still commits (advances the fence)
             batch.unpersist()
-            self._commit(self._next_manifest(manifest, epoch, {}, []))
+            self._commit(self._next_manifest(manifest, epoch, {}, [], source=source))
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         touched = sorted(int(r["bucket"]) for r in stats)
@@ -435,11 +469,13 @@ class LakeTable:
                 "rows_deleted": int(r["rows_deleted"]),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
                 "status": "success",
+                "source": source,
             }
             for r in stats
         ]
         nxt = self._next_manifest(
-            manifest, epoch, new_files, cp_rows, touched, new_schema, changes_entry
+            manifest, epoch, new_files, cp_rows, touched, new_schema, changes_entry,
+            source=source,
         )
         self._commit(nxt)
 
@@ -501,7 +537,12 @@ class LakeTable:
     # ---------------- DDL (truncate / rename a whole repo) ----------------
 
     def apply_repo_ddl(
-        self, epoch: int, action: str, repo: str, new_repo: str | None = None
+        self,
+        epoch: int,
+        action: str,
+        repo: str,
+        new_repo: str | None = None,
+        source: str = "",
     ) -> MergeResult:
         """Apply a table-level DDL as its own fenced, atomic commit.
 
@@ -514,7 +555,7 @@ class LakeTable:
         """
         t0 = time.monotonic()
         manifest = self.read_manifest()
-        if self._epoch_applied(manifest, epoch):
+        if self._epoch_applied(manifest, epoch, source):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
 
         state = self.read_state().withColumn("bucket", bucket_expr(self.n_buckets))
@@ -524,7 +565,7 @@ class LakeTable:
 
         if not src_buckets:
             affected.unpersist()
-            self._commit(self._next_manifest(manifest, epoch, {}, []))
+            self._commit(self._next_manifest(manifest, epoch, {}, [], source=source))
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         if action in ("truncate", "drop"):
@@ -636,10 +677,12 @@ class LakeTable:
                 "rows_deleted": deleted,
                 "wall_ms": int((time.monotonic() - t0) * 1000),
                 "status": "success",
+                "source": source,
             }
         ]
         nxt = self._next_manifest(
-            manifest, epoch, new_files, cp_rows, touched, None, changes_entry
+            manifest, epoch, new_files, cp_rows, touched, None, changes_entry,
+            source=source,
         )
         self._commit(nxt)
         return MergeResult(
@@ -778,17 +821,28 @@ class LakeTable:
         touched: list[int] | None = None,
         new_schema: dict | None = None,
         changes_entry: list[str] | None = None,
+        source: str = "",
     ) -> dict:
         buckets = dict(manifest["buckets"])
         for b in touched or []:
             buckets.pop(str(b), None)  # touched bucket fully rewritten
         buckets.update(new_files)
-        wm, extra = self._advance_fence(manifest, epoch)
+        wm, extra = self._advance_fence(manifest, epoch, source)
+        if source == "":
+            default_wm, default_extra = wm, extra
+            source_fences = dict(manifest.get("source_fences", {}))
+        else:
+            default_wm = manifest.get("epoch_watermark", -1)
+            default_extra = manifest.get("epochs_extra", [])
+            source_fences = dict(manifest.get("source_fences", {}))
+            source_fences[source] = {"wm": wm, "extra": extra}
         return {
             "version": manifest["version"] + 1,
             "epoch": epoch,
-            "epoch_watermark": wm,
-            "epochs_extra": extra,
+            "epoch_watermark": default_wm,
+            "epochs_extra": default_extra,
+            # per-source fences: the GTID-set (per-UUID intervals) analog
+            "source_fences": source_fences,
             "buckets": buckets,
             "schema": new_schema or manifest["schema"],
             # delta only — readers walk the chain (see _checkpoint_rows)
