@@ -470,8 +470,12 @@ def q_cdc_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_typed_events,
     )
 
+    from mysql_binlog_spark.util import spread
+
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_typed_"), "packed")
-    encode_typed_events(_typed_changelog_df(spark, sf_dir)).write.mode(
+    # spread: the single-file events scan arrives as ~3 partitions, which
+    # would cap the encode at 3 Python workers
+    encode_typed_events(spread(_typed_changelog_df(spark, sf_dir))).write.mode(
         "overwrite"
     ).parquet(path)
     dec = decode_typed_events(spark.read.parquet(path))
@@ -833,11 +837,12 @@ def q_cdc_decode_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_packed_events,
         encode_packed_df,
     )
+    from mysql_binlog_spark.util import spread
 
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_packed_"), "packed")
-    encode_packed_df(_changelog_df(spark, sf_dir)).write.mode("overwrite").parquet(
-        path
-    )
+    encode_packed_df(spread(_changelog_df(spark, sf_dir))).write.mode(
+        "overwrite"
+    ).parquet(path)
     decoded = decode_packed_events(spark.read.parquet(path))
     return snapshot_from_events(decoded)
 

@@ -117,50 +117,175 @@ def _pack_row(r: dict) -> bytes:
     return head + b"".join(var_vals)
 
 
+#: numpy view of the fixed-width head (matches _FMT, little-endian)
+_HEAD_DTYPE = np.dtype(
+    [
+        ("seq", "<u8"), ("op", "u1"), ("nulls", "<u2"),
+        ("size_bytes", "<i8"), ("mode", "<i4"), ("score", "<i8"),
+        ("ratio", "<f8"), ("mtime", "<i8"), ("mdate", "<i4"),
+        ("flags_bits", "<i8"),
+        ("l0", "<u4"), ("l1", "<u4"), ("l2", "<u4"),
+        ("l3", "<u4"), ("l4", "<u4"), ("l5", "<u4"),
+    ]
+)
+assert _HEAD_DTYPE.itemsize == _FMT.size
+
+
 def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    cols: dict[str, list] = {
-        k: []
-        for k in [
+    """Vectorized batch decode: the fixed-width section of every record is
+    gathered with ONE numpy fancy-index into a structured array (no
+    per-row struct.unpack); numeric/timestamp/date columns convert as
+    whole arrays. Only variable-length field slicing and Decimal
+    construction remain per element — the unavoidable object-creation
+    floor of a row-oriented wire format."""
+    recs = [bytes(r) for r in pdf["record"]]
+    n = len(recs)
+    if n == 0:
+        return pd.DataFrame(
+            {k: pd.Series(dtype="object") for k in (
+                "seq", "op", "repo", "path", "commit", "size_bytes", "mode",
+                "score", "ratio", "mtime", "mdate", "flags_bits", "meta",
+                "raw", "content")}
+        )
+    buf = np.frombuffer(b"".join(recs), dtype=np.uint8)
+    rec_lens = np.fromiter((len(r) for r in recs), dtype=np.int64, count=n)
+    offs = np.concatenate(([0], np.cumsum(rec_lens)))[:-1]
+    # one vectorized gather of all heads -> structured view
+    head_bytes = buf[offs[:, None] + np.arange(_FMT.size)]
+    head = np.ascontiguousarray(head_bytes).view(_HEAD_DTYPE).reshape(n)
+
+    nulls = head["nulls"].astype(np.int64)
+
+    def masked(name, arr):
+        m = (nulls >> _NULL_BITS[name]) & 1
+        out = pd.Series(arr)
+        return out.mask(m == 1)
+
+    cols: dict[str, object] = {
+        "seq": head["seq"].astype(np.int64),
+        "op": pd.Series(head["op"]).map(chr),
+        "size_bytes": masked("size_bytes", head["size_bytes"].astype(np.int64)),
+        "mode": masked("mode", head["mode"].astype(np.int32)),
+        "ratio": masked("ratio", head["ratio"].astype(np.float64)),
+        # whole-array datetime conversions (datetime64 units, no loops)
+        "mtime": masked("mtime", head["mtime"].astype("datetime64[us]")),
+        "mdate": masked(
+            "mdate", pd.Series(head["mdate"].astype("datetime64[D]")).dt.date
+        ),
+        "flags_bits": masked("flags_bits", head["flags_bits"].astype(np.int64)),
+    }
+    # decimals must stay exact objects; construct only where non-null
+    score_null = (nulls >> _NULL_BITS["score"]) & 1
+    cols["score"] = pd.Series(
+        [None if score_null[i] else Decimal(int(s)).scaleb(-4)
+         for i, s in enumerate(head["score"])],
+        dtype="object",
+    )
+    # var-field slicing: per-record offsets computed vectorized
+    lens = np.stack([head[f"l{j}"].astype(np.int64) for j in range(6)], axis=1)
+    starts = offs[:, None] + _FMT.size + np.concatenate(
+        [np.zeros((n, 1), dtype=np.int64), np.cumsum(lens, axis=1)[:, :-1]], axis=1
+    )
+    raw_buf = buf.tobytes()
+    for j, f in enumerate(_VAR_FIELDS):
+        bit = _NULL_BITS.get(f)
+        fnull = (nulls >> bit) & 1 if bit is not None else np.zeros(n, dtype=np.int64)
+        s_j, l_j = starts[:, j], lens[:, j]
+        if f == "raw":
+            vals = [
+                None if fnull[i] else raw_buf[s_j[i] : s_j[i] + l_j[i]]
+                for i in range(n)
+            ]
+        else:
+            vals = [
+                None if fnull[i] else raw_buf[s_j[i] : s_j[i] + l_j[i]].decode("utf-8")
+                for i in range(n)
+            ]
+        cols[f] = pd.Series(vals, dtype="object")
+    return pd.DataFrame(cols)[
+        [
             "seq", "op", "repo", "path", "commit", "size_bytes", "mode",
             "score", "ratio", "mtime", "mdate", "flags_bits", "meta",
             "raw", "content",
         ]
-    }
-    for rec in pdf["record"]:
-        b = bytes(rec)
-        (
-            seq, op, nulls, size_bytes, mode, score, ratio, mtime_us,
-            mdate_days, flags, *lens
-        ) = _FMT.unpack_from(b, 0)
-        off = _FMT.size
+    ]
 
-        def nz(name, v):
-            bit = _NULL_BITS.get(name)
-            return None if bit is not None and nulls & (1 << bit) else v
 
-        cols["seq"].append(seq)
-        cols["op"].append(chr(op))
-        cols["size_bytes"].append(nz("size_bytes", size_bytes))
-        cols["mode"].append(nz("mode", mode))
-        cols["score"].append(nz("score", Decimal(score).scaleb(-4)))
-        cols["ratio"].append(nz("ratio", ratio))
-        cols["mtime"].append(
-            nz("mtime", pd.Timestamp(mtime_us, unit="us"))
-        )
-        cols["mdate"].append(
-            nz("mdate", _EPOCH_DATE + _dt.timedelta(days=mdate_days))
-        )
-        cols["flags_bits"].append(nz("flags_bits", flags))
-        for f, ln in zip(_VAR_FIELDS, lens):
-            chunk = b[off : off + ln]
-            off += ln
-            if f == "raw":
-                cols[f].append(nz(f, chunk))
-            else:
-                cols[f].append(nz(f, chunk.decode("utf-8")))
-    out = pd.DataFrame(cols)
-    out["seq"] = np.asarray(out["seq"], dtype="int64")
-    return out
+def _pack_batch(pdf: pd.DataFrame) -> list[bytes]:
+    """Vectorized batch encode: null bitmap + fixed-width section built as
+    whole numpy arrays; only var-field byte encoding and final record
+    assembly run per row."""
+    n = len(pdf)
+    head = np.zeros(n, dtype=_HEAD_DTYPE)
+    nulls = np.zeros(n, dtype=np.int64)
+
+    def fixed(name, to_array):
+        s = pdf[name]
+        isnull = s.isna().to_numpy()  # None / NaN / NaT
+        nulls[:] |= isnull.astype(np.int64) << _NULL_BITS[name]
+        head[name] = to_array(s, isnull)
+
+    def num(dtype, fill=0):
+        def conv(s, isnull):
+            return pd.to_numeric(s, errors="coerce").fillna(fill).to_numpy(dtype)
+        return conv
+
+    fixed("size_bytes", num(np.int64))
+    fixed("mode", num(np.int32))
+    fixed("ratio", num(np.float64, 0.0))
+    fixed("flags_bits", num(np.int64))
+
+    def ts_conv(s, isnull):
+        arr = pd.to_datetime(s, errors="coerce").to_numpy(dtype="datetime64[ns]")
+        us = arr.astype("datetime64[us]").astype(np.int64)
+        us[isnull] = 0
+        return us
+
+    fixed("mtime", ts_conv)
+
+    def date_conv(s, isnull):
+        arr = pd.to_datetime(s, errors="coerce").to_numpy(dtype="datetime64[ns]")
+        days = arr.astype("datetime64[D]").astype(np.int64)
+        days[isnull] = 0
+        return days.astype(np.int32)
+
+    fixed("mdate", date_conv)
+
+    # exact decimals: scaled per non-null element (object column)
+    sc = pdf["score"]
+    sc_null = sc.isna().to_numpy()
+    nulls[:] |= sc_null.astype(np.int64) << _NULL_BITS["score"]
+    head["score"] = [
+        0 if sc_null[i] else int(Decimal(v).scaleb(4))
+        for i, v in enumerate(sc)
+    ]
+
+    head["seq"] = pd.to_numeric(pdf["seq"]).to_numpy(np.uint64)
+    head["op"] = pdf["op"].map(ord).to_numpy(np.uint8)
+
+    # var fields: utf-8 encode (per element), lengths into the head
+    var_cols: list[list[bytes]] = []
+    for j, f in enumerate(_VAR_FIELDS):
+        s = pdf[f]
+        isnull = s.isna().to_numpy()
+        if f in _NULL_BITS:
+            nulls[:] |= isnull.astype(np.int64) << _NULL_BITS[f]
+        if f == "raw":
+            vals = [b"" if isnull[i] else bytes(v) for i, v in enumerate(s)]
+        else:
+            vals = [b"" if isnull[i] else str(v).encode("utf-8") for i, v in enumerate(s)]
+        head[f"l{j}"] = np.fromiter(map(len, vals), dtype=np.uint32, count=n)
+        var_cols.append(vals)
+    head["nulls"] = nulls.astype(np.uint16)
+
+    hb = head.tobytes()
+    sz = _HEAD_DTYPE.itemsize
+    return [
+        hb[i * sz : (i + 1) * sz]
+        + var_cols[0][i] + var_cols[1][i] + var_cols[2][i]
+        + var_cols[3][i] + var_cols[4][i] + var_cols[5][i]
+        for i in range(n)
+    ]
 
 
 def encode_typed_events(events: DataFrame) -> DataFrame:
@@ -169,11 +294,7 @@ def encode_typed_events(events: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            recs = [
-                _pack_row(r)
-                for r in pdf.where(pd.notnull(pdf), None).to_dict("records")
-            ]
-            yield pd.DataFrame({"record": recs})
+            yield pd.DataFrame({"record": _pack_batch(pdf)})
 
     return events.mapInPandas(run, schema=PACKED_SCHEMA)
 
