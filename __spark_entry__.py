@@ -982,15 +982,17 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sim_lsh_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized-LSH-layout path: embeddings written partitioned by
-    hyperplane bucket, probe query pruned to the probed partitions
-    (identical results to sim_lsh_topk — same oracle)."""
+    hyperplane bucket, probe query pruned to the probed partitions.
+    6 planes (64 partition dirs) at this fixture scale — per-directory
+    writer overhead dominates tiny partitions; at real scale the plane
+    count tracks data volume (~0.5-1GB per bucket dir)."""
     from mysql_binlog_spark.similarity.ann import lsh_topk_indexed, write_lsh_index
 
     e = _emb_double(spark, sf_dir)
     idx = os.path.join(tempfile.mkdtemp(prefix="lsh_idx_"), "idx")
-    write_lsh_index(e, idx, n_planes=8)
+    write_lsh_index(e, idx, n_planes=6)
     return lsh_topk_indexed(
-        spark, idx, _query_vec(spark, sf_dir), k=10, n_planes=8, multiprobe=1
+        spark, idx, _query_vec(spark, sf_dir), k=10, n_planes=6, multiprobe=1
     )
 
 
@@ -1546,6 +1548,22 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg USING (doc_id)
 """,
     }
-    # the materialized-index probe returns exactly the scan-time LSH result
-    out["sim_lsh_topk_indexed"] = out["sim_lsh_topk"]
+    # the materialized-index probe: same construction as sim_lsh_topk but
+    # with the 6-plane bucket family the index is built on
+    bucket6 = _bucket_sql("e.v", n_planes=6)
+    out["sim_lsh_topk_indexed"] = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+b AS (SELECT vec_id, v, {bucket6} AS bucket FROM e),
+qb AS (SELECT {_bucket_sql("q.qv", n_planes=6)} AS qbucket FROM q),
+probes AS (
+  SELECT DISTINCT xor(qbucket, m) AS pb
+  FROM qb, (VALUES (0),(1),(2),(4),(8),(16),(32)) t(m)
+),
+cand AS (SELECT b.vec_id, b.v FROM b JOIN probes ON b.bucket = probes.pb)
+SELECT vec_id, round({_COS.format(a="e.v", b="q.qv")}, 4) AS cosine
+FROM cand e, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
     return out

@@ -44,7 +44,11 @@ def embedding_near_dup_pairs(
             )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if blocked:
-        base = base.withColumn("bucket", hyperplane_bucket(F.col("v"), n_planes))
+        from mysql_binlog_spark.util import spread
+
+        base = spread(base).withColumn(
+            "bucket", hyperplane_bucket(F.col("v"), n_planes)
+        )
         join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
             F.col("a.id") < F.col("b.id")
         )

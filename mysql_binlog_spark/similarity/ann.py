@@ -103,9 +103,11 @@ def lsh_topk(
     At scale the table is written partitioned by bucket, so this becomes a
     partition-pruned scan of (n_planes+1)/2^n_planes of the data.
     """
+    from mysql_binlog_spark.util import spread
+
     dim = len(query_vec)
     probes = probe_buckets(query_vec, n_planes, multiprobe)
-    cand = df.filter(
+    cand = spread(df).filter(
         hyperplane_bucket(F.col(vec_col), n_planes, dim).isin(*sorted(probes))
     )
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
@@ -124,8 +126,13 @@ def write_lsh_index(
     recomputing buckets over a full scan per query. Buckets are
     deterministic (md5-seeded hyperplanes), so the index never goes
     stale relative to the query-side bucket math."""
+    from mysql_binlog_spark.util import spread
+
     (
-        df.withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
+        # spread: a small single-file scan arrives as ONE task, which
+        # serializes the (interpreted-HOF) projection math on one core
+        spread(df)
+        .withColumn("bucket", hyperplane_bucket(F.col(vec_col), n_planes, dim))
         # cluster by bucket before the partitioned write: one file per
         # bucket directory instead of (tasks x buckets) small files
         .repartition("bucket")
@@ -275,9 +282,11 @@ def write_ivf_index(
     assignment). Batch queries then prune to their nprobe cell
     directories instead of re-evaluating the assignment expression over
     a full scan per query."""
+    from mysql_binlog_spark.util import spread
+
     cell = _nearest_cell_expr(F.col(vec_col), centroids)
     (
-        df.withColumn("cell", cell)
+        spread(df).withColumn("cell", cell)
         .repartition("cell")
         .write.partitionBy("cell")
         .option("compression", "zstd")
