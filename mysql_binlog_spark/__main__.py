@@ -54,6 +54,14 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--table", required=True)
     v.add_argument("--keep", type=int, default=1)
 
+    df = sub.add_parser(
+        "diff", help="net change set (I/U/D per key) between two committed versions"
+    )
+    df.add_argument("--table", required=True)
+    df.add_argument("--from-version", type=int, required=True, dest="from_version")
+    df.add_argument("--to-version", type=int, default=None, dest="to_version")
+    df.add_argument("--out", required=True)
+
     args = p.parse_args(argv)
 
     from mysql_binlog_spark.session import get_spark
@@ -127,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable(spark, args.table)
         removed = t.vacuum(keep_versions=args.keep)
         print(json.dumps({"cmd": "vacuum", "files_removed": len(removed)}))
+
+    elif args.cmd == "diff":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        v_to = args.to_version if args.to_version is not None else t.current_version()
+        t.diff(args.from_version, v_to).write.mode("overwrite").parquet(args.out)
+        print(
+            json.dumps(
+                {"cmd": "diff", "from": args.from_version, "to": v_to, "out": args.out}
+            )
+        )
 
     return 0
 
