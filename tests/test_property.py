@@ -61,6 +61,38 @@ def test_snapshot_matches_sequential_oracle(spark, seed, n, p_del, p_ren, hot):
 
 
 @settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(500, 1500),
+    p_ddl=st.floats(0.003, 0.02),
+)
+def test_ddl_snapshot_matches_sequential_oracle(spark, seed, n, p_ddl):
+    """For RANDOM streams CONTAINING DDL (randomized statement formats,
+    truncate/drop/rename effects), the single-pass DDL-aware snapshot must
+    equal the oracle's independent replay (which parses the statements
+    with its own minimal regexes)."""
+    from mysql_binlog_spark.operators.ddl import snapshot_with_ddl
+
+    spec = ChangelogSpec(
+        n_events=n, seed=seed, n_repos=8, p_delete=0.15, p_rename=0.05,
+        p_update=0.3, p_insert=0.45, p_ddl=p_ddl,
+    )
+    ev = generate_events_pandas(spec)
+    got = (
+        snapshot_with_ddl(spark.createDataFrame(ev))
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@settings(
     max_examples=4,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
