@@ -376,6 +376,9 @@ _COS = (
 # --------------------------------------------------------------------------
 
 _EPOCH_SIZE = 2000
+#: multi-source fixture uses wider epochs (a 2-source interleave over
+#: narrow epochs would run dozens of tiny merges in the driver check)
+_MS_EPOCH_SIZE = 20_000
 
 
 def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
@@ -701,7 +704,7 @@ def q_cdc_multi_source_hwm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(path)
         paths[name] = path
     table = LakeTable(spark, os.path.join(root, "lake"), n_buckets=16)
-    run_multi_source_ingest(spark, paths, table, epoch_size=_EPOCH_SIZE)
+    run_multi_source_ingest(spark, paths, table, epoch_size=_MS_EPOCH_SIZE)
     cp = table.checkpoints()
     return cp.groupBy("source").agg(
         F.sum("rows_in").alias("rows_in"),
@@ -1183,7 +1186,7 @@ src AS (
 ),
 r AS (
   SELECT *, row_number() OVER (
-      PARTITION BY source, CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT),
+      PARTITION BY source, CAST(FLOOR(seq / {_MS_EPOCH_SIZE}.0) AS BIGINT),
                    repo, path
       ORDER BY seq DESC, sub DESC) AS rn
   FROM src
@@ -1191,7 +1194,7 @@ r AS (
 SELECT source,
        CAST(count(*) AS BIGINT) AS rows_in,
        max(seq) AS hwm_seq,
-       count(DISTINCT CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT)) AS n_epochs,
+       count(DISTINCT CAST(FLOOR(seq / {_MS_EPOCH_SIZE}.0) AS BIGINT)) AS n_epochs,
        CAST(sum(CASE WHEN rn = 1 AND op <> 'D' THEN 1 ELSE 0 END) AS BIGINT)
            AS rows_upserted,
        CAST(sum(CASE WHEN rn = 1 AND op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
