@@ -226,13 +226,19 @@ def iter_event_batches(spec: ChangelogSpec, batch_size: int = 1_000_000):
                 rename_repo_state(old, new)
             head = rnd.choice(["RENAME TABLE ", "rename table ", "RENAME  TABLE "])
             stmt = head + ", ".join(pairs)
-        else:  # barrier-only noise (ALTER / CREATE / CREATE INDEX)
+        else:  # barrier-only noise: per-table (ALTER/CREATE/CREATE INDEX)
+            # and table-less 'public'-stream statements (CREATE DATABASE /
+            # GRANT / ANALYZE) that the engine must carry as global
+            # barriers, never drop (recover/main.go:148-181)
             stmt = rnd.choice(
                 [
                     f"ALTER TABLE {fmt_table(target)} ADD `lang` VARCHAR(32) NULL",
                     f"ALTER TABLE {fmt_table(target)} ADD COLUMN score INT DEFAULT 0",
                     f"CREATE TABLE IF NOT EXISTS {fmt_table(target)} (`id` bigint(20) NOT NULL)",
                     f"CREATE INDEX k_1 ON {fmt_table(target)}(path)",
+                    "CREATE DATABASE IF NOT EXISTS archive",
+                    "GRANT SELECT ON main.* TO 'replica'@'%'",
+                    f"ANALYZE TABLE {fmt_table(target)}",
                 ]
             )
         # multi-statement form: occasionally bundle a txn-control no-op or

@@ -81,7 +81,11 @@ def plan_entries(max_seq: int, epoch_size: int, ddl_ops=()) -> list[tuple]:
     With no DDL the ids coincide with the seq-grid ids of
     ``plan_epochs``.
     """
-    ddl = sorted(ddl_ops, key=lambda o: o.seq)
+    # Clip DDL beyond the ingest bound: a bounded run (max_seq below a
+    # later DDL's seq) must stop at the bound, not spin waiting for row
+    # events that are out of range (the unclipped op's seq can never
+    # satisfy `seq <= lo + 1` once lo == max_seq).
+    ddl = sorted((o for o in ddl_ops if o.seq <= max_seq), key=lambda o: o.seq)
     entries: list[tuple] = []
     eid, lo, i = 0, -1, 0
     while lo < max_seq or i < len(ddl):

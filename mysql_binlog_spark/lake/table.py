@@ -59,6 +59,7 @@ Scale design (the part that must survive 100 TB / 1000 executors):
 from __future__ import annotations
 
 import json
+import logging
 import time
 import uuid
 from dataclasses import dataclass
@@ -87,9 +88,13 @@ CHECKPOINT_SCHEMA = T.StructType(
     ]
 )
 
-#: net-change rows recorded per epoch when change tracking is enabled
+#: net-change rows recorded per epoch when change tracking is enabled.
+#: ``version`` is the commit that produced the row: DDL epochs
+#: (truncate/drop/rename) write D/I change rows that REUSE the affected
+#: row's stored seq, so seq alone is not a total order across a key's
+#: change history — (version, seq) is.
 CHANGE_SCHEMA_DDL = (
-    "repo string, path string, diff_op string, seq long, "
+    "repo string, path string, diff_op string, version long, seq long, "
     "old_content string, new_content string, new_commit string"
 )
 
@@ -141,12 +146,16 @@ class LakeTable:
         self.spark = spark
         self.io = io if io is not None else io_for_root(spark, root)
         self.root = self.io.normalize_root(root)
-        self.track_changes = track_changes
         self.io.makedirs(_join(self.root, "_snapshots"))
         self.io.makedirs(_join(self.root, "data"))
         self._manifest_cache: dict[int, dict] = {}
 
         committed = self.read_manifest()
+        # track_changes is sticky like n_buckets: a table that ever
+        # committed with tracking on keeps writing change files no matter
+        # how it is reopened (a CLI open with the default constructor must
+        # not silently stop the change stream and break incremental diff).
+        self.track_changes = bool(committed.get("track_changes")) or track_changes
         stored = committed.get("n_buckets")
         if stored is not None:
             if n_buckets is not None and n_buckets != stored:
@@ -256,6 +265,13 @@ class LakeTable:
     def epochs_applied(self, source: str = "") -> list[int]:
         wm, extra = self._fence_of(self.read_manifest(), source)
         return list(range(wm + 1)) + list(extra)
+
+    def next_epoch_id(self, source: str = "") -> int:
+        """Smallest epoch id beyond everything applied — for callers that
+        assign epochs dynamically (the streaming front end, whose fencing
+        is by content/seq, not by a pre-planned id grid)."""
+        wm, extra = self._fence_of(self.read_manifest(), source)
+        return (max(extra) if extra else wm) + 1
 
     def sources(self) -> list[str]:
         """Named sources that have committed epochs (the GTID-set's
@@ -375,9 +391,17 @@ class LakeTable:
             .collect()
         )
         if not stats:
-            # empty epoch still commits (advances the fence)
+            # empty epoch still commits (advances the fence); changes=[]
+            # (tracked-but-empty), NOT None, so incremental diff ranges
+            # spanning this version stay incremental
             batch.unpersist()
-            self._commit(self._next_manifest(manifest, epoch, {}, [], source=source))
+            self._commit(
+                self._next_manifest(
+                    manifest, epoch, {}, [],
+                    changes_entry=[] if self.track_changes else None,
+                    source=source,
+                )
+            )
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         touched = sorted(int(r["bucket"]) for r in stats)
@@ -517,6 +541,7 @@ class LakeTable:
             .select(
                 *KEY_COLS,
                 "diff_op",
+                F.lit(manifest["version"] + 1).alias("version"),
                 F.col("_w.seq").alias("seq"),
                 F.col("_old.content").alias("old_content"),
                 F.when(w_op != "D", F.col("_w.content")).alias("new_content"),
@@ -565,7 +590,13 @@ class LakeTable:
 
         if not src_buckets:
             affected.unpersist()
-            self._commit(self._next_manifest(manifest, epoch, {}, [], source=source))
+            self._commit(
+                self._next_manifest(
+                    manifest, epoch, {}, [],
+                    changes_entry=[] if self.track_changes else None,
+                    source=source,
+                )
+            )
             return MergeResult(epoch, True, 0, 0, 0, 0, int((time.monotonic() - t0) * 1000))
 
         if action in ("truncate", "drop"):
@@ -578,6 +609,7 @@ class LakeTable:
             changes_src = affected.select(
                 *KEY_COLS,
                 F.lit("D").alias("diff_op"),
+                F.lit(manifest["version"] + 1).alias("version"),
                 F.col("seq"),
                 F.col("content").alias("old_content"),
                 F.lit(None).cast("string").alias("new_content"),
@@ -613,18 +645,38 @@ class LakeTable:
             d_rows = affected.select(
                 *KEY_COLS,
                 F.lit("D").alias("diff_op"),
+                F.lit(manifest["version"] + 1).alias("version"),
                 F.col("seq"),
                 F.col("content").alias("old_content"),
                 F.lit(None).cast("string").alias("new_content"),
                 F.lit(None).cast("string").alias("new_commit"),
             )
-            i_rows = moved.select(
-                *KEY_COLS,
-                F.lit("I").alias("diff_op"),
-                F.col("seq"),
-                F.lit(None).cast("string").alias("old_content"),
-                F.col("content").alias("new_content"),
-                F.col("commit").alias("new_commit"),
+            # target-side change rows must reflect the ACTUAL transition:
+            # I when the target key did not exist, U when the moved row
+            # wins a collision, nothing when the pre-existing target wins.
+            tgt_prior = (
+                self.read_state(buckets=tgt_buckets)
+                .filter(F.col("repo") == F.lit(new_repo))
+                .select(
+                    "path",
+                    F.col("seq").alias("_tseq"),
+                    F.col("content").alias("_tcontent"),
+                )
+            )
+            i_rows = (
+                moved.join(tgt_prior, "path", "left")
+                .filter(F.col("_tseq").isNull() | (F.col("seq") > F.col("_tseq")))
+                .select(
+                    *KEY_COLS,
+                    F.when(F.col("_tseq").isNull(), F.lit("I"))
+                    .otherwise(F.lit("U"))
+                    .alias("diff_op"),
+                    F.lit(manifest["version"] + 1).alias("version"),
+                    F.col("seq"),
+                    F.col("_tcontent").alias("old_content"),
+                    F.col("content").alias("new_content"),
+                    F.col("commit").alias("new_commit"),
+                )
             )
             changes_src = d_rows.unionByName(i_rows)
             deleted, upserted = n_affected, n_affected
@@ -705,7 +757,15 @@ class LakeTable:
         (e.g. the table predates tracking).
         """
         inc = self._diff_incremental(v_old, v_new)
-        return inc if inc is not None else self._diff_full(v_old, v_new)
+        if inc is None:
+            logging.getLogger(__name__).warning(
+                "diff(%d, %d) on %s: an intermediate version lacks change "
+                "files — falling back to the full snapshot outer join "
+                "(O(table), not O(changed rows))",
+                v_old, v_new, self.root,
+            )
+            return self._diff_full(v_old, v_new)
+        return inc
 
     def _diff_incremental(self, v_old: int, v_new: int) -> DataFrame | None:
         files: list[str] = []
@@ -720,10 +780,18 @@ class LakeTable:
             )
         chg = self.spark.read.schema(CHANGE_SCHEMA_DDL).parquet(*files)
         # net effect across epochs: first change's old image x last
-        # change's new image (same algebra as collapse_net_effect)
+        # change's new image (same algebra as collapse_net_effect).
+        # Ordering is (version, seq), NOT seq alone: DDL epochs write
+        # change rows that reuse the affected row's stored seq, so a
+        # range spanning an insert and a later truncate of the same key
+        # holds two rows with EQUAL seq — the commit version breaks the
+        # tie deterministically (min_by/max_by are nondeterministic on
+        # ties). coalesce(version, 0) keeps pre-upgrade change files
+        # (no version column -> NULL) readable.
+        order = F.struct(F.coalesce(F.col("version"), F.lit(0)), F.col("seq"))
         agg = chg.groupBy(*KEY_COLS).agg(
-            F.min_by(F.struct("diff_op", "old_content"), "seq").alias("first"),
-            F.max_by(F.struct("diff_op", "new_content", "new_commit"), "seq").alias(
+            F.min_by(F.struct("diff_op", "old_content"), order).alias("first"),
+            F.max_by(F.struct("diff_op", "new_content", "new_commit"), order).alias(
                 "last"
             ),
         )
@@ -848,6 +916,9 @@ class LakeTable:
             # delta only — readers walk the chain (see _checkpoint_rows)
             "checkpoints": cp_rows,
             "n_buckets": self.n_buckets,
+            # sticky: adopted at open like n_buckets (ADVICE: a default
+            # reopen must not silently stop the change stream)
+            "track_changes": self.track_changes,
             # this COMMIT's change files ([] = tracked-but-empty epoch,
             # None = tracking off -> incremental diff falls back)
             "changes": changes_entry if self.track_changes else None,

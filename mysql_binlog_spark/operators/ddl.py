@@ -43,6 +43,13 @@ ACTION_RENAME = "rename"
 ACTION_DROP = "drop"
 ACTION_TRUNCATE = "truncate"
 ACTION_CREATE_INDEX = "create_index"
+#: statement recognized as DDL-shaped but attributable to no table —
+#: the reference's `public` stream (recover/main.go:148-181,
+#: common/inter/constant.go:97): such statements still act as a global
+#: flush barrier (replayed before all tables on recover) even though
+#: they have no per-table state effect. Dropping them silently would
+#: lose e.g. CREATE DATABASE / GRANT from the replayed stream.
+ACTION_UNKNOWN = "unknown"
 
 # name fragment: optionally backticked, optionally db-qualified; repo
 # names here may contain '-' (unlike MySQL's default identifier charset)
@@ -88,9 +95,12 @@ def _qualify(table: str, db: str | None, default_db: str) -> str:
 
 
 def parse_statement(stmt: str, default_db: str = "main") -> ParsedDdl | None:
-    """Parse ONE statement; None when it is txn control or unrecognized
-    (the reference routes unmatched DDL to the 'public' stream — our
-    analog is an engine-level barrier with no table effect)."""
+    """Parse ONE statement. Returns None only for txn control / empty
+    (elided, reference merge.go:141-146); anything else that does not
+    match a table-attributable pattern comes back as
+    ``ParsedDdl(action='unknown', tables=())`` — the 'public' stream
+    entry: an engine-level flush barrier with no table effect, never a
+    silent drop."""
     s = stmt.strip().rstrip(";").strip()
     if not s:
         return None
@@ -105,7 +115,7 @@ def parse_statement(stmt: str, default_db: str = "main") -> ParsedDdl | None:
         for seg in body.split(","):
             m = _RE_RENAME_PAIR.match(seg)
             if not m:
-                return None
+                return ParsedDdl(ACTION_UNKNOWN, (), (), s)
             g = m.groups()  # (a_tb_or_db, a_tb, b_tb_or_db, b_tb)
             old = _qualify(g[1] or g[0], g[0] if g[1] else None, default_db)
             new = _qualify(g[3] or g[2], g[2] if g[3] else None, default_db)
@@ -125,12 +135,13 @@ def parse_statement(stmt: str, default_db: str = "main") -> ParsedDdl | None:
             a, b = m.group(1), m.group(2)
             table = _qualify(b or a, a if b else None, default_db)
             return ParsedDdl(action, (table,), (), s)
-    return None
+    return ParsedDdl(ACTION_UNKNOWN, (), (), s)
 
 
 def parse_query(query: str, default_db: str = "main") -> list[ParsedDdl]:
     """Parse a QUERY-event payload: split multi-statement on ';', parse
-    each, drop txn control / unmatched (reference merge.go:147-166)."""
+    each, elide txn control, route unmatched statements to the 'public'
+    barrier (reference merge.go:147-166; recover/main.go:148-181)."""
     out: list[ParsedDdl] = []
     for stmt in query.split(";"):
         p = parse_statement(stmt, default_db)
@@ -193,8 +204,11 @@ def extract_ddl_ops(events: DataFrame, default_db: str = "main") -> list[DdlOp]:
                     )
             elif p.action in (ACTION_DROP, ACTION_TRUNCATE):
                 ops.append(DdlOp(int(r["seq"]), p.action, repo_of(p.tables[0])))
-            else:  # create / alter / create index: barrier only
-                ops.append(DdlOp(int(r["seq"]), p.action, repo_of(p.tables[0])))
+            else:
+                # create / alter / create index: per-table barrier only;
+                # 'unknown' (the public stream): GLOBAL barrier, no table
+                repo = repo_of(p.tables[0]) if p.tables else None
+                ops.append(DdlOp(int(r["seq"]), p.action, repo))
     return ops
 
 
@@ -214,44 +228,44 @@ def rename_remap_expr(ops: list[DdlOp], repo: Column, seq: Column) -> Column:
     return expr
 
 
-def truncate_watermarks(ops: list[DdlOp]) -> dict[str, int]:
-    """repo -> highest truncate/drop seq, with the repo name itself
-    tracked THROUGH later renames (truncating r2 then renaming r2->r9
-    means the truncated keys live under r9 in the final namespace)."""
-    marks: list[tuple[str, int]] = []
+def truncate_kill_expr(ops: list[DdlOp], repo: Column, seq: Column) -> Column:
+    """True iff the event is erased by some truncate/drop in the plan.
+
+    Origin-lineage semantics: an event dies when its repo name AT THE
+    TIME OF THE TRUNCATE equals the truncated repo and the event precedes
+    it. Walking the DDL ops in seq order while folding renames into the
+    tracked name gives exactly "this event's repo at each truncate's
+    seq" — so a later ``RENAME truncated TO existing`` cannot kill the
+    target repo's own pre-existing keys (they were never named
+    ``truncated`` at the truncate's seq). This matches replaying the DDL
+    sequentially (``LakeTable.apply_repo_ddl``), which truncates state
+    before the rename moves anything.
+    """
+    kill = F.lit(False)
+    name = repo
     for op in sorted(ops, key=lambda o: o.seq):
-        if op.action in ("truncate", "drop"):
-            marks.append((op.repo, op.seq))
-        elif op.action == "rename":
-            marks = [
-                (op.new_repo if r == op.repo else r, s) for (r, s) in marks
-            ]
-    out: dict[str, int] = {}
-    for r, s in marks:
-        out[r] = max(out.get(r, -1), s)
-    return out
-
-
-def truncate_filter_expr(
-    marks: dict[str, int], repo: Column, last_seq: Column
-) -> Column:
-    """Keep a collapsed key iff its last event is at/after every truncate
-    watermark of its (final-namespace) repo."""
-    keep = F.lit(True)
-    for r, s in sorted(marks.items()):
-        keep = keep & ((repo != r) | (last_seq > s))
-    return keep
+        if op.action == "rename":
+            name = F.when(
+                (name == op.repo) & (seq < op.seq), F.lit(op.new_repo)
+            ).otherwise(name)
+        elif op.action in ("truncate", "drop"):
+            kill = kill | ((name == op.repo) & (seq < op.seq))
+    return kill
 
 
 def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
     """Single-pass snapshot honoring DDL events — the bounded `merge`
     analog with the flush-before-DDL semantics folded into expressions:
 
-        rename remap (seq-ordered whens)  ->  expand_renames
-        ->  collapse_latest  ->  truncate-watermark filter
+        truncate-lineage kill filter (events erased by a later
+        truncate/drop of the repo they belonged to at that moment)
+        ->  rename remap (seq-ordered whens)  ->  expand_renames
+        ->  collapse_latest
 
     The epoch pipeline achieves the same result incrementally via
-    ``LakeTable.apply_repo_ddl`` at real barriers (engine.pipeline).
+    ``LakeTable.apply_repo_ddl`` at real barriers (engine.pipeline);
+    ``tests/test_ddl.py`` pins the two paths to each other on rename
+    collisions.
     """
     from mysql_binlog_spark.operators.collapse import (
         PAYLOAD_COLS,
@@ -261,15 +275,12 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
 
     ops = extract_ddl_ops(events, default_db)
     rows = events.filter(F.col("op") != "Q")
+    rows = rows.filter(~truncate_kill_expr(ops, F.col("repo"), F.col("seq")))
     remapped = rows.withColumn(
         "repo", rename_remap_expr(ops, F.col("repo"), F.col("seq"))
     )
     latest = collapse_latest(expand_renames(remapped))
-    marks = truncate_watermarks(ops)
-    kept = latest.filter(
-        (F.col("op") != "D")
-        & truncate_filter_expr(marks, F.col("repo"), F.col("seq"))
-    )
+    kept = latest.filter(F.col("op") != "D")
     return kept.select(
         "repo",
         "path",

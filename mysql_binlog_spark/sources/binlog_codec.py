@@ -11,14 +11,20 @@ via mapInPandas** — one Python call per ~10k records, zero per-row Python
 
 Record layout (little-endian), one event per record:
 
-    u64 seq | u8 op ('I'/'U'/'D'/'Q') | u8 flags | 8x u32 field lengths
-    | repo | path | commit | lang | content | before_content | new_path
-    | statement  (utf-8)
+    u8 version (=2) | u64 seq | u8 op ('I'/'U'/'D'/'Q') | u8 flags
+    | 8x u32 field lengths | repo | path | commit | lang | content
+    | before_content | new_path | statement  (utf-8)
 
 ``flags`` bit i set => nullable field i is NULL (lang / content /
 before_content / new_path / statement).
 A deliberate echo of the reference's column-present/null bitmaps
-(row_event.go:340-365) without copying its format.
+(row_event.go:340-365) without copying its format. The leading version
+byte makes records written by an older (or newer) codec fail loudly
+instead of decoding as garbage offsets — the binlog
+FORMAT_DESCRIPTION_EVENT's job (reference
+siddontang/go-mysql/replication/parser.go:89-130); the decoder also
+cross-checks each record's byte length against its header-implied
+length, the CRC-strip analog of the reference's per-event size check.
 """
 
 from __future__ import annotations
@@ -44,7 +50,8 @@ _FIELDS = [
 # null-bitmap positions for the nullable fields
 _NULLABLE = {"lang": 0, "content": 1, "before_content": 2, "new_path": 3, "statement": 4}
 
-_HEAD = struct.Struct("<QBB")  # seq, op, flags
+_WIRE_VERSION = 2  # bumped whenever the record layout changes
+_HEAD = struct.Struct("<BQBB")  # version, seq, op, flags
 _N_FIELDS = len(_FIELDS)
 _LENS = struct.Struct(f"<{_N_FIELDS}I")
 
@@ -59,7 +66,7 @@ def _pack_one(row) -> bytes:
             vals.append(b"")
         else:
             vals.append((v or "").encode("utf-8"))
-    head = _HEAD.pack(int(row["seq"]), ord(row["op"]), flags)
+    head = _HEAD.pack(_WIRE_VERSION, int(row["seq"]), ord(row["op"]), flags)
     lens = _LENS.pack(*[len(v) for v in vals])
     return head + lens + b"".join(vals)
 
@@ -99,8 +106,19 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     }
     for rec in pdf["record"]:
         b = bytes(rec)
-        seq, op, flags = _HEAD.unpack_from(b, 0)
+        ver, seq, op, flags = _HEAD.unpack_from(b, 0)
+        if ver != _WIRE_VERSION:
+            raise ValueError(
+                f"packed record has wire-format version {ver}, decoder "
+                f"speaks {_WIRE_VERSION} — re-encode the stream (stale "
+                "archive?) instead of decoding garbage offsets"
+            )
         lens = _LENS.unpack_from(b, _HEAD.size)
+        if _HEAD.size + _LENS.size + sum(lens) != len(b):
+            raise ValueError(
+                f"packed record length {len(b)} does not match its "
+                "header-implied length — corrupt or truncated record"
+            )
         off = _HEAD.size + _LENS.size
         out["seq"].append(seq)
         out["op"].append(chr(op))

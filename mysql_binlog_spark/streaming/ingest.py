@@ -15,14 +15,26 @@ collapse + fenced-merge path as the batch engine.
   occur. (For an out-of-order source you would add
   ``withWatermark("event_time", ...)`` before any windowed agg.)
 - Exactly-once (T4): Spark's streaming checkpoint gives at-least-once
-  foreachBatch invocation; our LakeTable epoch fence turns replayed
-  batch ids into no-ops — the same protocol as the batch path, so a crash
-  between Spark's checkpoint write and our commit is safe in BOTH orders.
+  foreachBatch invocation. Fencing is CONTENT-derived, not batch-id
+  derived: each micro-batch is filtered to ``seq > committed high
+  watermark`` and applied as the next epoch. Spark's ``batch_id`` is
+  deliberately ignored — batch ids restart at 0 when a checkpoint dir is
+  lost/replaced, and the file-to-batch assignment of the new run need
+  not match the original (different ``maxFilesPerTrigger``, newly landed
+  files), so fencing on batch id could silently drop a batch whose
+  contents differ from the original epoch with the same id. The seq
+  watermark depends only on committed table state, so replays (in either
+  crash order, or after a full checkpoint wipe) re-apply nothing and
+  lose nothing — the reference's position-row resume semantics
+  (common/db/mysql.go:198-226: restart reads the position, not a batch
+  counter). Requires the source's seq order across files (guaranteed by
+  the changelog landing protocol, like binlog file ordering).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from mysql_binlog_spark.lake.table import LakeTable
 from mysql_binlog_spark.operators.collapse import collapse_latest, expand_renames
@@ -46,9 +58,16 @@ def stream_ingest(
     src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):
-        batch = collapse_latest(expand_renames(batch_df))
-        # epoch id = streaming batch id; replays fence out (idempotent)
-        table.merge(batch, epoch=int(batch_id))
+        # content-derived fence (see module docstring): only rows beyond
+        # the committed watermark are new; a fully replayed batch (crash
+        # replay OR lost-checkpoint re-read) filters to empty and commits
+        # nothing. batch_id is ignored on purpose.
+        hwm = table.high_watermark(source="")
+        fresh = batch_df.filter(F.col("seq") > hwm)
+        if fresh.limit(1).isEmpty():
+            return
+        batch = collapse_latest(expand_renames(fresh))
+        table.merge(batch, epoch=table.next_epoch_id())
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

@@ -70,18 +70,25 @@ def _collapse_group(
         state.get if state.exists else (None, None, None, None)
     )
     alive = state.exists
-    for pdf in pdfs:
-        pdf = pdf.sort_values("seq")
-        for r in pdf.itertuples():
-            if cur_seq is not None and r.seq <= cur_seq:
-                continue  # replayed/out-of-order older event: LWW ignores
-            cur_seq = int(r.seq)
-            if r.op == "D":
+    # Vectorized LWW fold: under last-writer-wins only the NEWEST event at
+    # or beyond the stored seq matters — intermediate rows cannot affect
+    # the final state, so the per-row walk reduces to one idxmax.
+    parts = [pdf for pdf in pdfs if len(pdf)]
+    if parts:
+        batch = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if cur_seq is not None:
+            batch = batch[batch["seq"] > cur_seq]  # replayed/older: ignored
+        if len(batch):
+            w = batch.loc[batch["seq"].idxmax()]
+            cur_seq = int(w["seq"])
+            if w["op"] == "D":
                 alive = False
                 cur_commit = cur_lang = cur_content = None
             else:
                 alive = True
-                cur_commit, cur_lang, cur_content = r.commit, r.lang, r.content
+                cur_commit, cur_lang, cur_content = (
+                    w["commit"], w["lang"], w["content"],
+                )
     if alive:
         state.update((cur_seq, cur_commit, cur_lang, cur_content))
     elif state.exists:

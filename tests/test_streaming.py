@@ -59,6 +59,68 @@ def test_stream_ingest_matches_oracle(spark, tmp_path):
     assert len(table.epochs_applied()) >= 2
 
 
+def test_stream_ingest_survives_checkpoint_loss(spark, tmp_path):
+    """The round-2 fence was keyed on Spark's batch_id: wiping the
+    checkpoint dir restarts ids at 0 and the re-read batches (with a
+    DIFFERENT file-to-batch assignment) would fence out as 'already
+    applied', silently dropping new rows. The content-derived fence
+    (seq > committed watermark) must converge to the oracle anyway."""
+    import shutil
+
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=2400, seed=11, n_repos=6)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batches = list(iter_event_batches(spec, batch_size=400))
+    for i, b in enumerate(batches[:3]):
+        pq.write_table(
+            pa.Table.from_batches([b], schema=EVENT_SCHEMA),
+            str(events_dir / f"part-{i:04d}.parquet"),
+        )
+
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, available_now=True,
+    )
+    q.awaitTermination(120)
+    assert table.high_watermark() == 3 * 400 - 1
+
+    # LOSE the checkpoint mid-stream; land the rest of the files; restart
+    # with a fresh checkpoint dir -> Spark re-reads EVERYTHING, batch ids
+    # restart at 0, and the new run groups files differently (different
+    # maxFilesPerTrigger)
+    shutil.rmtree(tmp_path / "ckpt")
+    for i, b in enumerate(batches[3:], start=3):
+        pq.write_table(
+            pa.Table.from_batches([b], schema=EVENT_SCHEMA),
+            str(events_dir / f"part-{i:04d}.parquet"),
+        )
+    v_before = table.current_version()
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        max_files_per_trigger=3, available_now=True,
+    )
+    q.awaitTermination(120)
+
+    ev_pandas = pa.Table.from_batches(batches, schema=EVENT_SCHEMA).to_pandas()
+    got = (
+        table_snapshot(table)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev_pandas)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # replayed (already-committed) data produced no new commits; only the
+    # genuinely new rows did
+    assert table.current_version() > v_before
+    assert table.high_watermark() == spec.n_events - 1
+
+
 def test_stream_ingest_continuous_tail(spark, tmp_path):
     """`backup` analog: continuous (non-availableNow) tail — files landing
     AFTER the stream starts are picked up and merged; state converges to
