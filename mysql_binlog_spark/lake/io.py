@@ -12,16 +12,93 @@ Commit-protocol note (why there is no "current pointer" file): the commit
 linearization point is the **atomic exclusive create of the manifest file
 itself** (``v{N+1}.json``); the current version is the highest committed
 manifest. This is exactly Iceberg's rename-if-absent metadata commit on
-HDFS. Exclusive create is atomic on POSIX (O_EXCL) and on HDFS
-(create(path, overwrite=false)); object stores without atomic
-create-if-absent (plain S3) need a conditional-put or a lock service —
-the seam to add one is ``create_exclusive``.
+HDFS. How each store gets an atomic create-if-absent:
+
+- POSIX (``LocalTableIO``): ``open(path, 'x')`` — O_EXCL, atomic.
+- HDFS (``HadoopTableIO``): ``FileSystem.create(path, overwrite=false)``
+  — atomic namenode op.
+- S3-class stores (``S3ConditionalPutIO``): conditional PUT with
+  ``If-None-Match: *`` — exactly one of N racing writers gets 200, the
+  rest get 412 PreconditionFailed. Amazon S3 supports this natively
+  (announced 2024; also MinIO / GCS XML API / R2), which is how Iceberg
+  and Delta commit on S3 without a catalog service today.
+- Stores with NO conditional write (legacy S3-compatible): wrap any
+  TableIO's ``create_exclusive`` with a ``CommitLock`` (mutual-exclusion
+  lease). ``LocalFileLock`` implements it over a shared POSIX/NFS mount;
+  a DynamoDB/ZooKeeper lease drops into the same two-method seam.
+
+Writers additionally run optimistic retries (LakeTable.merge re-reads the
+manifest and recomputes on FileExistsError), so losing a commit race
+never loses an update — the loser's work lands at the next version.
 """
 
 from __future__ import annotations
 
 import os
+import time
 import uuid
+
+
+class CommitLock:
+    """Mutual-exclusion seam for stores without atomic create-if-absent
+    (the reference hides storage behind IClient the same way,
+    common/inter/store.go:10-24). ``acquire`` blocks until the caller
+    holds the lock for ``path`` and returns an opaque token; ``release``
+    gives it up. Implementations must tolerate crashed holders (lease
+    expiry). A DynamoDB conditional-write or ZooKeeper ephemeral-node
+    lease implements this interface verbatim."""
+
+    def acquire(self, path: str) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def release(self, path: str, token: str) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LocalFileLock(CommitLock):
+    """Lease lock over a shared POSIX/NFS mount: O_EXCL-create a sidecar
+    ``<path>.lock`` holding the owner token; a lock older than
+    ``lease_sec`` is considered abandoned (crashed holder) and is broken
+    by delete-then-recreate — only one breaker wins the O_EXCL recreate."""
+
+    def __init__(self, lease_sec: float = 60.0, poll_sec: float = 0.02):
+        self.lease_sec = lease_sec
+        self.poll_sec = poll_sec
+
+    def _lock_path(self, path: str) -> str:
+        # accept Hadoop-qualified file URIs (file:/x, file:///x): the lock
+        # sidecar is an OS-level file on the shared mount
+        import re
+
+        return re.sub(r"^file:/{0,2}/", "/", path) + ".lock"
+
+    def acquire(self, path: str) -> str:
+        lp = self._lock_path(path)
+        token = uuid.uuid4().hex
+        while True:
+            try:
+                fd = os.open(lp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode())
+                os.close(fd)
+                return token
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lp).st_mtime
+                    if age > self.lease_sec:
+                        os.unlink(lp)  # abandoned; race to recreate
+                        continue
+                except FileNotFoundError:
+                    continue  # released between the open and the stat
+                time.sleep(self.poll_sec)
+
+    def release(self, path: str, token: str) -> None:
+        lp = self._lock_path(path)
+        try:
+            with open(lp) as f:
+                if f.read() == token:  # never break someone else's lock
+                    os.unlink(lp)
+        except FileNotFoundError:
+            pass
 
 
 class LocalTableIO:
@@ -83,14 +160,18 @@ class HadoopTableIO:
     executors use for the data files, so one storage config covers both.
 
     ``create_exclusive`` maps to ``FileSystem.create(path, overwrite=false)``
-    which is atomic on HDFS; on S3A it is check-then-create (document /
-    replace with an S3 conditional-put for strict multi-writer safety —
-    single-writer-per-table deployments are safe as-is).
+    which is atomic on HDFS. On filesystems where that call is
+    check-then-create (S3A without conditional-create support, LocalFS),
+    pass a ``commit_lock`` (e.g. ``LocalFileLock`` on a shared mount, or
+    a DynamoDB/ZooKeeper lease) — the exclusive create then runs inside
+    the lease, making multi-writer commits safe; or use
+    ``S3ConditionalPutIO`` on stores with conditional PUT.
     """
 
-    def __init__(self, spark):
+    def __init__(self, spark, commit_lock: CommitLock | None = None):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        self.commit_lock = commit_lock
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -121,14 +202,26 @@ class HadoopTableIO:
             stream.close()
 
     def create_exclusive(self, path: str, data: str) -> None:
-        fs = self._fs(path)
-        jp = self._path(path)
+        if self.commit_lock is not None:
+            # stores whose create(overwrite=false) is check-then-create:
+            # run the check + write inside a mutual-exclusion lease
+            token = self.commit_lock.acquire(path)
+            try:
+                if self.exists(path):
+                    raise FileExistsError(path)
+                self._write(path, data, overwrite=True)
+                return
+            finally:
+                self.commit_lock.release(path, token)
         try:
-            out = fs.create(jp, False)  # overwrite=false: atomic on HDFS
+            self._write(path, data, overwrite=False)  # atomic on HDFS
         except Exception as e:  # py4j wraps FileAlreadyExistsException
             if "AlreadyExists" in str(e) or "already exists" in str(e):
                 raise FileExistsError(path) from e
             raise
+
+    def _write(self, path: str, data: str, overwrite: bool) -> None:
+        out = self._fs(path).create(self._path(path), overwrite)
         try:
             out.write(bytearray(data.encode("utf-8")))
             out.hflush()
@@ -165,6 +258,143 @@ class HadoopTableIO:
         fs = self._fs(path)
         jp = self._path(path)
         return fs.exists(jp) and fs.getFileStatus(jp).isDirectory()
+
+
+class S3ConditionalPutIO:
+    """Object-store TableIO using conditional writes — multi-writer-safe
+    commits on S3-class stores with NO lock service.
+
+    ``create_exclusive`` issues ``PUT`` with ``If-None-Match: "*"``:
+    among N racing writers exactly one PUT succeeds, the rest receive
+    412 PreconditionFailed and surface as FileExistsError — the same
+    linearization Amazon S3 natively supports (conditional writes,
+    GA 2024; MinIO and the GCS XML API behave identically). Data files
+    still flow through Spark's s3a:// committers; this class carries the
+    driver-side metadata ops only, mirroring the reference's IClient
+    seam (common/inter/store.go:10-24).
+
+    ``client`` is a boto3-style S3 client (``boto3.client("s3")``);
+    injectable so the 412 protocol is unit-testable without a real
+    bucket. Created lazily from boto3 when omitted.
+    """
+
+    def __init__(self, bucket: str, client=None, endpoint_url: str | None = None):
+        if client is None:  # pragma: no cover - needs network
+            try:
+                import boto3  # type: ignore
+            except ImportError as e:
+                raise ImportError(
+                    "S3ConditionalPutIO needs boto3 (or an injected "
+                    "boto3-style client)"
+                ) from e
+            client = boto3.client("s3", endpoint_url=endpoint_url)
+        self.bucket = bucket
+        self.client = client
+
+    # -- key mapping ------------------------------------------------------
+    def _key(self, path: str) -> str:
+        p = path
+        for prefix in (f"s3a://{self.bucket}/", f"s3://{self.bucket}/"):
+            if p.startswith(prefix):
+                return p[len(prefix):]
+        return p.lstrip("/")
+
+    def normalize_root(self, root: str) -> str:
+        return f"s3a://{self.bucket}/{self._key(root).strip('/')}"
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def read_text(self, path: str) -> str:
+        try:
+            resp = self.client.get_object(Bucket=self.bucket, Key=self._key(path))
+        except Exception as e:
+            if _s3_code(e) in ("NoSuchKey", "404"):
+                raise FileNotFoundError(path) from e
+            raise
+        body = resp["Body"].read()
+        return body.decode("utf-8")
+
+    def create_exclusive(self, path: str, data: str) -> None:
+        """THE commit: conditional PUT; 412 => somebody else committed."""
+        try:
+            self.client.put_object(
+                Bucket=self.bucket,
+                Key=self._key(path),
+                Body=data.encode("utf-8"),
+                IfNoneMatch="*",
+            )
+        except Exception as e:
+            if _s3_code(e) in ("PreconditionFailed", "412"):
+                raise FileExistsError(path) from e
+            raise
+
+    def _list(self, prefix: str, delimiter: str = ""):
+        token = None
+        while True:
+            kw = {"Bucket": self.bucket, "Prefix": prefix}
+            if delimiter:
+                kw["Delimiter"] = delimiter
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            yield resp
+            token = resp.get("NextContinuationToken")
+            if not token:
+                break
+
+    def list_names(self, dirpath: str) -> list[str]:
+        prefix = self._key(dirpath).rstrip("/") + "/"
+        names: list[str] = []
+        for resp in self._list(prefix, delimiter="/"):
+            names.extend(
+                o["Key"][len(prefix):] for o in resp.get("Contents", [])
+            )
+            names.extend(
+                cp["Prefix"][len(prefix):].rstrip("/")
+                for cp in resp.get("CommonPrefixes", [])
+            )
+        return [n for n in names if n]
+
+    def walk_files(self, root: str, suffix: str = ".parquet") -> list[str]:
+        prefix = self._key(root).rstrip("/") + "/"
+        out: list[str] = []
+        for resp in self._list(prefix):
+            out.extend(
+                f"s3a://{self.bucket}/{o['Key']}"
+                for o in resp.get("Contents", [])
+                if o["Key"].endswith(suffix)
+            )
+        return out
+
+    def delete(self, path: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=self._key(path))
+
+    def exists(self, path: str) -> bool:
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=self._key(path))
+            return True
+        except Exception as e:
+            if _s3_code(e) in ("NoSuchKey", "404", "NotFound"):
+                return False
+            raise
+
+    def isdir(self, path: str) -> bool:
+        prefix = self._key(path).rstrip("/") + "/"
+        for resp in self._list(prefix):
+            if resp.get("KeyCount", 0) > 0:
+                return True
+        return False
+
+
+def _s3_code(e: Exception) -> str:
+    """Error code from a botocore ClientError (or a test double carrying
+    .response / .code), without importing botocore."""
+    resp = getattr(e, "response", None)
+    if isinstance(resp, dict):
+        err = resp.get("Error", {})
+        return str(err.get("Code", resp.get("ResponseMetadata", {}).get("HTTPStatusCode", "")))
+    return str(getattr(e, "code", ""))
 
 
 def io_for_root(spark, root: str):

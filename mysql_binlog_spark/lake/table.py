@@ -344,7 +344,43 @@ class LakeTable:
 
     # ---------------- MERGE (the upsert join, SURVEY §2.6 J1) ----------------
 
+    #: optimistic-concurrency bound: how many times a writer recomputes
+    #: after losing a commit race before giving up
+    MAX_COMMIT_RETRIES = 8
+
+    def _with_commit_retries(self, fn):
+        """Optimistic concurrency: a FileExistsError from ``_commit``
+        means another writer won this version. Re-read the (now newer)
+        manifest and recompute — the epoch fence decides whether our
+        epoch still needs applying, so a lost race never loses an
+        update; the loser's work lands at the next version. Staged data
+        files from a lost attempt are unreferenced orphans, reclaimed by
+        ``vacuum`` (same as Iceberg's retry behavior)."""
+        import random
+
+        last: Exception | None = None
+        for attempt in range(self.MAX_COMMIT_RETRIES):
+            try:
+                return fn()
+            except FileExistsError as e:
+                last = e
+                # jittered exponential backoff: symmetric writers that
+                # recompute in lock-step would otherwise collide forever
+                time.sleep(random.uniform(0, 0.05 * (2 ** min(attempt, 5))))
+        raise RuntimeError(
+            f"lost {self.MAX_COMMIT_RETRIES} commit races in a row on "
+            f"{self.root} — pathological contention; rerun (the table is "
+            "uncorrupted: every committed version is someone's complete "
+            "commit)"
+        ) from last
+
     def merge(self, batch: DataFrame, epoch: int, source: str = "") -> MergeResult:
+        """Idempotent, multi-writer-safe MERGE (see ``_merge_once``)."""
+        return self._with_commit_retries(
+            lambda: self._merge_once(batch, epoch, source)
+        )
+
+    def _merge_once(self, batch: DataFrame, epoch: int, source: str = "") -> MergeResult:
         """Idempotent MERGE INTO: apply a collapsed batch to the table.
 
         ``batch`` must have one row per key: KEY_COLS + ('seq', 'op',
@@ -562,6 +598,19 @@ class LakeTable:
     # ---------------- DDL (truncate / rename a whole repo) ----------------
 
     def apply_repo_ddl(
+        self,
+        epoch: int,
+        action: str,
+        repo: str,
+        new_repo: str | None = None,
+        source: str = "",
+    ) -> MergeResult:
+        """Multi-writer-safe DDL apply (see ``_apply_repo_ddl_once``)."""
+        return self._with_commit_retries(
+            lambda: self._apply_repo_ddl_once(epoch, action, repo, new_repo, source)
+        )
+
+    def _apply_repo_ddl_once(
         self,
         epoch: int,
         action: str,
