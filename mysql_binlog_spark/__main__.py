@@ -53,6 +53,20 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("vacuum", help="reclaim unreferenced snapshot files")
     v.add_argument("--table", required=True)
     v.add_argument("--keep", type=int, default=1)
+    v.add_argument(
+        "--change-retention", type=int, default=None, dest="change_retention",
+        help="retire per-epoch change files older than N versions "
+        "(advances the changes floor; compacted ranges stay diffable)",
+    )
+
+    cc = sub.add_parser(
+        "compact-changes",
+        help="rewrite a version range's per-epoch change files into one "
+        "net-effect file set (tar-consolidation analog)",
+    )
+    cc.add_argument("--table", required=True)
+    cc.add_argument("--from-version", type=int, required=True, dest="from_version")
+    cc.add_argument("--to-version", type=int, default=None, dest="to_version")
 
     df = sub.add_parser(
         "diff", help="net change set (I/U/D per key) between two committed versions"
@@ -133,8 +147,24 @@ def main(argv: list[str] | None = None) -> int:
         from mysql_binlog_spark.lake.table import LakeTable
 
         t = LakeTable(spark, args.table)
-        removed = t.vacuum(keep_versions=args.keep)
+        removed = t.vacuum(
+            keep_versions=args.keep,
+            change_retention_versions=args.change_retention,
+        )
         print(json.dumps({"cmd": "vacuum", "files_removed": len(removed)}))
+
+    elif args.cmd == "compact-changes":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        v_to = args.to_version if args.to_version is not None else t.current_version()
+        n = t.compact_changes(args.from_version, v_to)
+        print(
+            json.dumps(
+                {"cmd": "compact-changes", "from": args.from_version,
+                 "to": v_to, "files": n}
+            )
+        )
 
     elif args.cmd == "diff":
         from mysql_binlog_spark.lake.table import LakeTable

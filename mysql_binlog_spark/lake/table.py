@@ -896,33 +896,71 @@ class LakeTable:
             return self._diff_full(v_old, v_new)
         return inc
 
-    def _diff_incremental(self, v_old: int, v_new: int) -> DataFrame | None:
+    def _incremental_change_files(self, v_old: int, v_new: int) -> list[str] | None:
+        """Change-file cover of (v_old, v_new]: compacted range files where
+        a compaction applies (one small file set instead of per-epoch
+        dribble), per-epoch files elsewhere; None when the range cannot be
+        served incrementally (tracking off for some version, or per-epoch
+        files vacuumed past the retention floor with no covering
+        compaction)."""
+        m = self.read_manifest()
+        comp = m.get("change_compactions", {})
+        floor = m.get("changes_floor", 0)
+        spans = sorted(
+            ((tuple(int(x) for x in k.split("-"))), fl) for k, fl in comp.items()
+        )
         files: list[str] = []
-        for v in range(v_old + 1, v_new + 1):
-            entry = self.read_manifest(v).get("changes")
+        v = v_old
+        while v < v_new:
+            hit = None
+            for (a, b), fl in spans:
+                if a == v and b <= v_new and (hit is None or b > hit[0][1]):
+                    hit = ((a, b), fl)
+            if hit is not None:
+                files.extend(hit[1])
+                v = hit[0][1]
+                continue
+            if v + 1 <= floor:
+                return None  # vacuumed per-epoch files, no compaction cover
+            entry = self.read_manifest(v + 1).get("changes")
             if entry is None:
                 return None
             files.extend(entry)
+            v += 1
+        return files
+
+    def _diff_incremental(self, v_old: int, v_new: int) -> DataFrame | None:
+        files = self._incremental_change_files(v_old, v_new)
+        if files is None:
+            return None
         if not files:
             return self.spark.createDataFrame([], CHANGE_SCHEMA_DDL).select(
                 *KEY_COLS, "diff_op", "old_content", "new_content", "new_commit"
             )
+        return self._net_changes(files).select(
+            *KEY_COLS, "diff_op", "old_content", "new_content", "new_commit"
+        )
+
+    def _net_changes(self, files: list[str]) -> DataFrame:
+        """Collapse change rows per key to their net effect: first
+        change's old image x last change's new image (same algebra as
+        collapse_net_effect). Ordering is (version, seq), NOT seq alone:
+        DDL epochs write change rows that reuse the affected row's stored
+        seq, so a range spanning an insert and a later truncate of the
+        same key holds two rows with EQUAL seq — the commit version
+        breaks the tie deterministically (min_by/max_by are
+        nondeterministic on ties). coalesce(version, 0) keeps
+        pre-upgrade change files (no version column -> NULL) readable.
+        Output keeps (version, seq) of the LAST change so compacted
+        outputs stay composable with later per-epoch rows."""
         chg = self.spark.read.schema(CHANGE_SCHEMA_DDL).parquet(*files)
-        # net effect across epochs: first change's old image x last
-        # change's new image (same algebra as collapse_net_effect).
-        # Ordering is (version, seq), NOT seq alone: DDL epochs write
-        # change rows that reuse the affected row's stored seq, so a
-        # range spanning an insert and a later truncate of the same key
-        # holds two rows with EQUAL seq — the commit version breaks the
-        # tie deterministically (min_by/max_by are nondeterministic on
-        # ties). coalesce(version, 0) keeps pre-upgrade change files
-        # (no version column -> NULL) readable.
         order = F.struct(F.coalesce(F.col("version"), F.lit(0)), F.col("seq"))
         agg = chg.groupBy(*KEY_COLS).agg(
             F.min_by(F.struct("diff_op", "old_content"), order).alias("first"),
-            F.max_by(F.struct("diff_op", "new_content", "new_commit"), order).alias(
-                "last"
-            ),
+            F.max_by(
+                F.struct("diff_op", "new_content", "new_commit", "version", "seq"),
+                order,
+            ).alias("last"),
         )
         first_op, last_op = F.col("first.diff_op"), F.col("last.diff_op")
         net = (
@@ -935,6 +973,8 @@ class LakeTable:
             agg.select(
                 *KEY_COLS,
                 net.alias("diff_op"),
+                F.col("last.version").alias("version"),
+                F.col("last.seq").alias("seq"),
                 F.col("first.old_content").alias("old_content"),
                 F.when(last_op != "D", F.col("last.new_content")).alias("new_content"),
                 F.when(last_op != "D", F.col("last.new_commit")).alias("new_commit"),
@@ -946,8 +986,17 @@ class LakeTable:
         """Fallback: full outer join on the key; 'unchanged' keys (same
         seq) drop out. Both sides are bucket-partitioned on the same key
         hash, so the join co-locates under the bucketed layout."""
-        old = self.read_state(version=v_old).select(*KEY_COLS, F.struct("*").alias("_o"))
-        new = self.read_state(version=v_new).select(*KEY_COLS, F.struct("*").alias("_n"))
+        def _padded(version: int) -> DataFrame:
+            # an empty snapshot (v0) reads with only the key columns —
+            # pad the fields the diff projection needs
+            df = self.read_state(version=version)
+            for c, typ in (("seq", "long"), ("content", "string"), ("commit", "string")):
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None).cast(typ))
+            return df
+
+        old = _padded(v_old).select(*KEY_COLS, F.struct("*").alias("_o"))
+        new = _padded(v_new).select(*KEY_COLS, F.struct("*").alias("_n"))
         j = old.join(new, on=KEY_COLS, how="full_outer")
         diff_op = (
             F.when(F.col("_o").isNull(), F.lit("I"))
@@ -969,7 +1018,76 @@ class LakeTable:
 
     # ---------------- maintenance ----------------
 
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def _commit_maintenance(self, mutate) -> None:
+        """Commit a metadata-only version: fences, buckets and schema are
+        carried over unchanged; ``mutate(manifest)`` applies the
+        maintenance fields. Runs under the same optimistic-retry commit
+        protocol as data epochs."""
+
+        def attempt():
+            m = self.read_manifest()
+            nxt = dict(m)
+            nxt["version"] = m["version"] + 1
+            nxt["checkpoints"] = []  # lineage delta: nothing applied
+            nxt["changes"] = [] if self.track_changes else None
+            nxt.setdefault("change_compactions", {})
+            nxt.setdefault("changes_floor", 0)
+            nxt.setdefault("repo_blooms", {})
+            nxt["n_buckets"] = self.n_buckets
+            nxt["track_changes"] = self.track_changes
+            mutate(nxt)
+            self._commit(nxt)
+
+        self._with_commit_retries(attempt)
+
+    def compact_changes(self, v_old: int, v_new: int) -> int:
+        """Rewrite the per-epoch change files of (v_old, v_new] into ONE
+        net-effect file set — the reference's rolling tar consolidation
+        for compacted binlog output (common/client/cfs.go:84-171) applied
+        to the CDC-out stream. ``diff`` over any range that includes
+        (v_old, v_new] then reads the single compacted set instead of one
+        tiny file-set per epoch, and ``vacuum`` may retire the per-epoch
+        files past the retention floor without losing diffability of the
+        compacted range. Returns the number of compacted files written.
+        """
+        if not (0 <= v_old < v_new <= self.current_version()):
+            raise ValueError(f"bad compaction range ({v_old}, {v_new}]")
+        files = self._incremental_change_files(v_old, v_new)
+        if files is None:
+            raise ValueError(
+                f"range ({v_old}, {v_new}] has no complete change-file "
+                "cover — cannot compact"
+            )
+        cdir = _join(
+            self.root, "changes", f"compact-{v_old:08d}-{v_new:08d}-{uuid.uuid4().hex[:8]}"
+        )
+        if files:
+            # net rows keep (version, seq) of each key's last change, so
+            # the compacted set composes with later per-epoch rows under
+            # the same (version, seq) ordering
+            self._net_changes(files).write.option("compression", "zstd").mode(
+                "overwrite"
+            ).parquet(cdir)
+            out = sorted(
+                _join(cdir, f)
+                for f in self.io.list_names(cdir)
+                if f.endswith(".parquet")
+            )
+        else:
+            out = []
+        key = f"{v_old}-{v_new}"
+
+        def mutate(nxt: dict) -> None:
+            comp = dict(nxt.get("change_compactions", {}))
+            comp[key] = out
+            nxt["change_compactions"] = comp
+
+        self._commit_maintenance(mutate)
+        return len(out)
+
+    def vacuum(
+        self, keep_versions: int = 1, change_retention_versions: int | None = None
+    ) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
         manifests — the analog of the reference's rolling tar consolidation
         + cleanup (common/client/cfs.go:84-171). Never touches files a
@@ -977,6 +1095,17 @@ class LakeTable:
         (tiny; they carry the lineage chain); reading an expired older
         version afterwards fails on its missing data files, exactly like
         Iceberg after expire_snapshots.
+
+        ``changes/`` retention: orphaned change files (lost commit races)
+        are always reclaimed. With ``change_retention_versions=N``,
+        per-epoch change files of versions <= current - N are retired and
+        the manifest's ``changes_floor`` advances (a maintenance commit),
+        so ``diff`` over ranges below the floor falls back to the
+        snapshot join EXPLICITLY instead of erroring on missing files —
+        unless a compaction (``compact_changes``) covers the range, which
+        keeps it incrementally diffable at one file-set's cost. Without
+        the parameter, referenced change files are kept forever (round-2
+        behavior, minus the orphans).
 
         Path comparison is safe against root-spelling drift because
         ``self.root`` is normalized at open and manifests record paths
@@ -994,6 +1123,28 @@ class LakeTable:
             if p not in live:
                 self.io.delete(p)
                 removed.append(p)
+
+        # ---- change-file retention ----
+        head = self.read_manifest(cur) if cur else {}
+        floor = head.get("changes_floor", 0)
+        new_floor = floor
+        if change_retention_versions is not None:
+            new_floor = max(floor, cur - change_retention_versions)
+        live_chg: set[str] = set()
+        for v in range(1, cur + 1):
+            entry = self.read_manifest(v).get("changes")
+            if entry and v > new_floor:
+                live_chg.update(entry)
+        for k, fl in head.get("change_compactions", {}).items():
+            live_chg.update(fl)  # compactions survive the floor by design
+        for p in self.io.walk_files(_join(self.root, "changes"), ".parquet"):
+            if p not in live_chg:
+                self.io.delete(p)
+                removed.append(p)
+        if new_floor != floor:
+            self._commit_maintenance(
+                lambda nxt: nxt.update({"changes_floor": new_floor})
+            )
         return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
@@ -1056,6 +1207,9 @@ class LakeTable:
             # sticky: adopted at open like n_buckets (ADVICE: a default
             # reopen must not silently stop the change stream)
             "track_changes": self.track_changes,
+            # change-stream maintenance state carried across commits
+            "change_compactions": manifest.get("change_compactions", {}),
+            "changes_floor": manifest.get("changes_floor", 0),
             # this COMMIT's change files ([] = tracked-but-empty epoch,
             # None = tracking off -> incremental diff falls back)
             "changes": changes_entry if self.track_changes else None,
