@@ -408,10 +408,14 @@ def _resumed_table(spark: SparkSession, sf_dir: str) -> LakeTable:
 # --------------------------------------------------------------------------
 
 
+_ENUM_DICT = ("rust", "go", "python", "java", "c", "js", "ts")
+
+
 def _typed_changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic TYPED change stream from `events`: int64/int32,
-    decimal(12,4), double, timestamp, date, bit-set, JSON text, blob —
-    every 7th event nulls the typed payloads (null-bitmap coverage)."""
+    decimal(12,4), double, timestamp, date, bit-set, TIME-of-day, ENUM,
+    JSON text, blob — every 7th event nulls the typed payloads
+    (null-bitmap coverage)."""
     ev = _t(spark, sf_dir, "events")
     seq = F.col("event_id")
     m = seq % 20
@@ -450,6 +454,25 @@ def _typed_changelog_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date",
         ).alias("mdate"),
         nn(seq % 251, "long").alias("flags_bits"),
+        # TIME-of-day (micros derived from seq, rendered the codec's way)
+        nn(
+            F.expr(
+                "printf('%02d:%02d:%02d.%06d', "
+                "((event_id * 1337) % 86400000000) div 3600000000, "
+                "(((event_id * 1337) % 86400000000) div 60000000) % 60, "
+                "(((event_id * 1337) % 86400000000) div 1000000) % 60, "
+                "((event_id * 1337) % 86400000000) % 1000000)"
+            ),
+            "string",
+        ).alias("dur"),
+        # ENUM via the default stream dictionary
+        nn(
+            F.element_at(
+                F.array(*[F.lit(x) for x in _ENUM_DICT]),
+                ((seq % 7) + 1).cast("int"),
+            ),
+            "string",
+        ).alias("category"),
         nn(
             F.concat(F.lit('{"k":'), (seq % 100).cast("string"), F.lit("}")),
             "string",
@@ -495,6 +518,9 @@ def q_cdc_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("mtime")).alias("mtime_us"),
         F.col("mdate").cast("string").alias("mdate_s"),
         "flags_bits",
+        "dur",
+        "category",
+        "flags_set",
         "meta",
         F.lower(F.hex("raw")).alias("raw_hex"),
         "content",
@@ -1264,6 +1290,27 @@ SELECT event_id AS seq,
             ELSE CAST(DATE '2020-01-01' + CAST(event_id % 3650 AS INT)
                       AS VARCHAR) END AS mdate_s,
        CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_id % 251 END AS flags_bits,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE printf('%02d:%02d:%02d.%06d',
+                 ((event_id * 1337) % 86400000000) // 3600000000,
+                 (((event_id * 1337) % 86400000000) // 60000000) % 60,
+                 (((event_id * 1337) % 86400000000) // 1000000) % 60,
+                 ((event_id * 1337) % 86400000000) % 1000000) END AS dur,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CASE event_id % 7 WHEN 1 THEN 'go' WHEN 2 THEN 'python'
+                      WHEN 3 THEN 'java' WHEN 4 THEN 'c' WHEN 5 THEN 'js'
+                      WHEN 6 THEN 'ts' ELSE 'rust' END END AS category,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE concat_ws(',',
+                 CASE WHEN (event_id % 251) & 1 <> 0 THEN 'read' END,
+                 CASE WHEN (event_id % 251) & 2 <> 0 THEN 'write' END,
+                 CASE WHEN (event_id % 251) & 4 <> 0 THEN 'exec' END,
+                 CASE WHEN (event_id % 251) & 8 <> 0 THEN 'hidden' END,
+                 CASE WHEN (event_id % 251) & 16 <> 0 THEN 'archived' END,
+                 CASE WHEN (event_id % 251) & 32 <> 0 THEN 'pinned' END,
+                 CASE WHEN (event_id % 251) & 64 <> 0 THEN 'locked' END,
+                 CASE WHEN (event_id % 251) & 128 <> 0 THEN 'starred' END)
+            END AS flags_set,
        CASE WHEN event_id % 7 = 0 THEN NULL
             ELSE '{"k":' || CAST(event_id % 100 AS VARCHAR) || '}' END AS meta,
        CASE WHEN event_id % 7 = 0 THEN NULL

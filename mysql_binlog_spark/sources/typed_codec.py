@@ -11,6 +11,7 @@ can carry every reference-decodable type through the wire format:
 
 | wire field   | encoding               | MySQL analog (row_event.go)   |
 |--------------|------------------------|-------------------------------|
+| version      | u8 (=3)                | FORMAT_DESCRIPTION_EVENT      |
 | seq          | u64                    | LONGLONG :418-432             |
 | op           | u8                     | event type                    |
 | size_bytes   | i64                    | LONGLONG                      |
@@ -20,12 +21,22 @@ can carry every reference-decodable type through the wire format:
 | mtime        | i64 epoch micros       | DATETIME2(fsp) :456-471,686   |
 | mdate        | i32 days since epoch   | DATE :486-497                 |
 | flags_bits   | i64                    | BIT / SET :443-448,633        |
+| dur          | i64 micros since 00:00 | TIME/TIME2(fsp) :472-485,735  |
+| category     | u16 dictionary id      | ENUM :498-509                 |
 | meta         | utf-8 (JSON text)      | JSON :523-527; json_binary.go |
 | raw          | length-prefixed bytes  | BLOB :515-516,816             |
 | repo/path/commit/content | utf-8        | VARCHAR/STRING :517-522  |
 
 NULLs travel in a u16 null bitmap — the per-row null-bitmap analog
-(row_event.go:354-365).
+(row_event.go:354-365). TIME decodes to a "HH:MM:SS.ffffff" string
+(SURVEY §1.4: no IntervalType need). ENUM travels as a dictionary id and
+decodes to its string via a stream-carried dictionary (the TableMap
+column-meta analog, row_event.go:139-184); SET decodes ``flags_bits``
+additionally into a ``flags_set`` comma-joined member string from its
+own dictionary (row_event.go:510-514,633). The leading version byte
+makes records from an older codec fail loudly; the decoder also
+cross-checks each record's byte length against its header-implied
+length.
 
 Both directions run as Arrow-batched ``mapInPandas`` (one Python call
 per batch, partition-local, no shuffle); everything downstream of the
@@ -46,84 +57,49 @@ from pyspark.sql import types as T
 
 PACKED_SCHEMA = T.StructType([T.StructField("record", T.BinaryType(), False)])
 
-#: decoded (and encoder-input) schema
+#: decoded output schema; ``flags_set`` is decode-derived (SET dictionary
+#: over flags_bits), not a wire field
 TYPED_EVENT_DDL = (
     "seq long, op string, repo string, path string, commit string, "
     "size_bytes long, mode int, score decimal(12,4), ratio double, "
-    "mtime timestamp, mdate date, flags_bits long, meta string, "
+    "mtime timestamp, mdate date, flags_bits long, dur string, "
+    "category string, flags_set string, meta string, "
     "raw binary, content string"
+)
+
+#: wire format version (FORMAT_DESCRIPTION analog); v3 added TIME + ENUM
+TYPED_WIRE_VERSION = 3
+
+#: default stream-carried dictionaries (the TableMap-meta analog) —
+#: callers pass their own per-stream dictionaries to encode/decode
+DEFAULT_ENUM_DICT = ("rust", "go", "python", "java", "c", "js", "ts")
+DEFAULT_SET_DICT = (
+    "read", "write", "exec", "hidden", "archived", "pinned", "locked", "starred",
 )
 
 # null-bitmap bit positions
 _NULL_BITS = {
     "commit": 0, "size_bytes": 1, "mode": 2, "score": 3, "ratio": 4,
     "mtime": 5, "mdate": 6, "flags_bits": 7, "meta": 8, "raw": 9,
-    "content": 10,
+    "content": 10, "dur": 11, "category": 12,
 }
 
 # header + fixed-width section + 6 var-field lengths, little-endian,
-# no padding: seq, op, nullbits | size, mode, score*1e4, ratio,
-# mtime_us, mdate_days, flags | len(repo..content)
-_FMT = struct.Struct("<QBHqiqdqiq6I")
+# no padding: version, seq, op, nullbits | size, mode, score*1e4, ratio,
+# mtime_us, mdate_days, flags, dur_us, category_id | len(repo..content)
+_FMT = struct.Struct("<BQBHqiqdqiqqH6I")
 _VAR_FIELDS = ["repo", "path", "commit", "meta", "raw", "content"]
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
 
-def _is_null(v) -> bool:
-    if v is None:
-        return True
-    try:
-        return bool(pd.isna(v))  # catches NaN AND NaT
-    except (TypeError, ValueError):
-        return False  # non-scalar (e.g. bytes)
-
-
-def _pack_row(r: dict) -> bytes:
-    nulls = 0
-
-    def fx(name, conv, default=0):
-        nonlocal nulls
-        if _is_null(r[name]):
-            nulls |= 1 << _NULL_BITS[name]
-            return default
-        return conv(r[name])
-
-    size_bytes = fx("size_bytes", int)
-    mode = fx("mode", int)
-    score = fx("score", lambda v: int(Decimal(v).scaleb(4)))
-    ratio = fx("ratio", float, 0.0)
-    mtime = fx("mtime", lambda v: pd.Timestamp(v).value // 1_000)
-    mdate = fx("mdate", lambda v: (v - _EPOCH_DATE).days)
-    flags = fx("flags_bits", int)
-
-    var_vals = []
-    for f in _VAR_FIELDS:
-        v = r[f]
-        if _is_null(v):
-            if f in _NULL_BITS:
-                nulls |= 1 << _NULL_BITS[f]
-            var_vals.append(b"")
-        elif f == "raw":
-            var_vals.append(bytes(v))
-        else:
-            var_vals.append(str(v).encode("utf-8"))
-
-    head = _FMT.pack(
-        int(r["seq"]), ord(r["op"]), nulls,
-        size_bytes, mode, score, ratio, mtime, mdate, flags,
-        *[len(v) for v in var_vals],
-    )
-    return head + b"".join(var_vals)
-
-
 #: numpy view of the fixed-width head (matches _FMT, little-endian)
 _HEAD_DTYPE = np.dtype(
     [
-        ("seq", "<u8"), ("op", "u1"), ("nulls", "<u2"),
+        ("ver", "u1"), ("seq", "<u8"), ("op", "u1"), ("nulls", "<u2"),
         ("size_bytes", "<i8"), ("mode", "<i4"), ("score", "<i8"),
         ("ratio", "<f8"), ("mtime", "<i8"), ("mdate", "<i4"),
-        ("flags_bits", "<i8"),
+        ("flags_bits", "<i8"), ("dur", "<i8"), ("cat", "<u2"),
         ("l0", "<u4"), ("l1", "<u4"), ("l2", "<u4"),
         ("l3", "<u4"), ("l4", "<u4"), ("l5", "<u4"),
     ]
@@ -131,7 +107,31 @@ _HEAD_DTYPE = np.dtype(
 assert _HEAD_DTYPE.itemsize == _FMT.size
 
 
-def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+_OUT_COLS = [
+    "seq", "op", "repo", "path", "commit", "size_bytes", "mode",
+    "score", "ratio", "mtime", "mdate", "flags_bits", "dur", "category",
+    "flags_set", "meta", "raw", "content",
+]
+
+
+def _dur_strings(us: np.ndarray) -> list[str]:
+    """micros-since-midnight -> 'HH:MM:SS.ffffff' (the reference's TIME2
+    string render, row_event.go:735-814); components vectorized, only the
+    final string format is per element (strings are objects anyway)."""
+    h, rem = np.divmod(us, 3_600_000_000)
+    m, rem = np.divmod(rem, 60_000_000)
+    s, frac = np.divmod(rem, 1_000_000)
+    return [
+        f"{hh:02d}:{mm:02d}:{ss:02d}.{ff:06d}"
+        for hh, mm, ss, ff in zip(h, m, s, frac)
+    ]
+
+
+def _unpack_batch(
+    pdf: pd.DataFrame,
+    enum_dict: tuple[str, ...] = DEFAULT_ENUM_DICT,
+    set_dict: tuple[str, ...] = DEFAULT_SET_DICT,
+) -> pd.DataFrame:
     """Vectorized batch decode: the fixed-width section of every record is
     gathered with ONE numpy fancy-index into a structured array (no
     per-row struct.unpack); numeric/timestamp/date columns convert as
@@ -141,18 +141,30 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     recs = [bytes(r) for r in pdf["record"]]
     n = len(recs)
     if n == 0:
-        return pd.DataFrame(
-            {k: pd.Series(dtype="object") for k in (
-                "seq", "op", "repo", "path", "commit", "size_bytes", "mode",
-                "score", "ratio", "mtime", "mdate", "flags_bits", "meta",
-                "raw", "content")}
-        )
+        return pd.DataFrame({k: pd.Series(dtype="object") for k in _OUT_COLS})
     buf = np.frombuffer(b"".join(recs), dtype=np.uint8)
     rec_lens = np.fromiter((len(r) for r in recs), dtype=np.int64, count=n)
     offs = np.concatenate(([0], np.cumsum(rec_lens)))[:-1]
+    if rec_lens.min() < _FMT.size:
+        raise ValueError("packed record shorter than its fixed header")
     # one vectorized gather of all heads -> structured view
     head_bytes = buf[offs[:, None] + np.arange(_FMT.size)]
     head = np.ascontiguousarray(head_bytes).view(_HEAD_DTYPE).reshape(n)
+    if (head["ver"] != TYPED_WIRE_VERSION).any():
+        bad = int(head["ver"][head["ver"] != TYPED_WIRE_VERSION][0])
+        raise ValueError(
+            f"typed record has wire-format version {bad}, decoder speaks "
+            f"{TYPED_WIRE_VERSION} — re-encode the stream instead of "
+            "decoding garbage offsets"
+        )
+    implied = _FMT.size + sum(
+        head[f"l{j}"].astype(np.int64) for j in range(6)
+    )
+    if (implied != rec_lens).any():
+        raise ValueError(
+            "typed record length does not match its header-implied length "
+            "— corrupt or truncated record"
+        )
 
     nulls = head["nulls"].astype(np.int64)
 
@@ -181,6 +193,33 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
          for i, s in enumerate(head["score"])],
         dtype="object",
     )
+    # TIME: micros-since-midnight -> string
+    dur_null = (nulls >> _NULL_BITS["dur"]) & 1
+    dur_strs = _dur_strings(head["dur"].astype(np.int64))
+    cols["dur"] = pd.Series(
+        [None if dur_null[i] else dur_strs[i] for i in range(n)], dtype="object"
+    )
+    # ENUM: dictionary id -> name (stream-carried dictionary)
+    cat_null = (nulls >> _NULL_BITS["category"]) & 1
+    cat_ids = head["cat"].astype(np.int64)
+    if ((cat_ids > len(enum_dict)) & (cat_null == 0)).any():
+        raise ValueError("ENUM id outside the stream dictionary")
+    cols["category"] = pd.Series(
+        [None if cat_null[i] else enum_dict[cat_ids[i] - 1] for i in range(n)],
+        dtype="object",
+    )
+    # SET: flags_bits -> comma-joined member names from the SET dictionary
+    flags_null = (nulls >> _NULL_BITS["flags_bits"]) & 1
+    fb = head["flags_bits"].astype(np.int64)
+    cols["flags_set"] = pd.Series(
+        [
+            None
+            if flags_null[i]
+            else ",".join(nm for j, nm in enumerate(set_dict) if (fb[i] >> j) & 1)
+            for i in range(n)
+        ],
+        dtype="object",
+    )
     # var-field slicing: per-record offsets computed vectorized
     lens = np.stack([head[f"l{j}"].astype(np.int64) for j in range(6)], axis=1)
     starts = offs[:, None] + _FMT.size + np.concatenate(
@@ -202,28 +241,29 @@ def _unpack_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 for i in range(n)
             ]
         cols[f] = pd.Series(vals, dtype="object")
-    return pd.DataFrame(cols)[
-        [
-            "seq", "op", "repo", "path", "commit", "size_bytes", "mode",
-            "score", "ratio", "mtime", "mdate", "flags_bits", "meta",
-            "raw", "content",
-        ]
-    ]
+    return pd.DataFrame(cols)[_OUT_COLS]
 
 
-def _pack_batch(pdf: pd.DataFrame) -> list[bytes]:
+def _pack_batch(
+    pdf: pd.DataFrame, enum_dict: tuple[str, ...] = DEFAULT_ENUM_DICT
+) -> list[bytes]:
     """Vectorized batch encode: null bitmap + fixed-width section built as
     whole numpy arrays; only var-field byte encoding and final record
-    assembly run per row."""
+    assembly run per row. Columns absent from the input frame (older
+    producers) encode as all-NULL."""
+    for c in ("dur", "category"):
+        if c not in pdf.columns:
+            pdf = pdf.assign(**{c: None})
     n = len(pdf)
     head = np.zeros(n, dtype=_HEAD_DTYPE)
+    head["ver"] = TYPED_WIRE_VERSION
     nulls = np.zeros(n, dtype=np.int64)
 
-    def fixed(name, to_array):
+    def fixed(name, to_array, field=None):
         s = pdf[name]
         isnull = s.isna().to_numpy()  # None / NaN / NaT
         nulls[:] |= isnull.astype(np.int64) << _NULL_BITS[name]
-        head[name] = to_array(s, isnull)
+        head[field or name] = to_array(s, isnull)
 
     def num(dtype, fill=0):
         def conv(s, isnull):
@@ -250,6 +290,25 @@ def _pack_batch(pdf: pd.DataFrame) -> list[bytes]:
         return days.astype(np.int32)
 
     fixed("mdate", date_conv)
+
+    def dur_conv(s, isnull):
+        # 'HH:MM:SS[.ffffff]' -> micros since midnight (vectorized parse)
+        td = pd.to_timedelta(s.where(~pd.Series(isnull, index=s.index)), errors="coerce")
+        us = (td.dt.total_seconds() * 1_000_000).round()
+        return us.fillna(0).to_numpy(np.int64)
+
+    fixed("dur", dur_conv)
+
+    def cat_conv(s, isnull):
+        lut = {name: i + 1 for i, name in enumerate(enum_dict)}
+        ids = s.map(lut)
+        bad = ids.isna().to_numpy() & ~isnull
+        if bad.any():
+            val = s[pd.Series(bad, index=s.index)].iloc[0]
+            raise ValueError(f"ENUM value {val!r} not in the stream dictionary")
+        return ids.fillna(0).to_numpy(np.uint16)
+
+    fixed("category", cat_conv, field="cat")
 
     # exact decimals: scaled per non-null element (object column)
     sc = pdf["score"]
@@ -288,24 +347,31 @@ def _pack_batch(pdf: pd.DataFrame) -> list[bytes]:
     ]
 
 
-def encode_typed_events(events: DataFrame) -> DataFrame:
+def encode_typed_events(
+    events: DataFrame, enum_dict: tuple[str, ...] = DEFAULT_ENUM_DICT
+) -> DataFrame:
     """Typed changelog -> packed binary records (distributed, Arrow
-    batches; the write side of the wire format)."""
+    batches; the write side of the wire format). ``enum_dict`` is the
+    stream-carried ENUM dictionary (TableMap-meta analog)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame({"record": _pack_batch(pdf)})
+            yield pd.DataFrame({"record": _pack_batch(pdf, enum_dict)})
 
     return events.mapInPandas(run, schema=PACKED_SCHEMA)
 
 
-def decode_typed_events(packed: DataFrame) -> DataFrame:
+def decode_typed_events(
+    packed: DataFrame,
+    enum_dict: tuple[str, ...] = DEFAULT_ENUM_DICT,
+    set_dict: tuple[str, ...] = DEFAULT_SET_DICT,
+) -> DataFrame:
     """Packed binary records -> fully typed changelog DataFrame (the
-    read side; decimal/timestamp/date/binary/JSON all land as native
-    Spark types, ready for JVM-side processing)."""
+    read side; decimal/timestamp/date/binary/JSON/TIME/ENUM/SET all land
+    as native Spark values, ready for JVM-side processing)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _unpack_batch(pdf)
+            yield _unpack_batch(pdf, enum_dict, set_dict)
 
     return packed.mapInPandas(run, schema=TYPED_EVENT_DDL)

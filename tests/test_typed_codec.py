@@ -16,21 +16,26 @@ from mysql_binlog_spark.sources.typed_codec import (
 
 
 def _fixture_df(spark):
+    # flags_set is the decode-derived SET rendering of flags_bits under
+    # DEFAULT_SET_DICT — the fixture carries the expected value so the
+    # round-trip frame-compare checks it too
     rows = [
         (
             1, "I", "r1", "a/b.py", "c" * 32,
             9_007_199_254_740_991, -256, Decimal("12345678.9999"), 0.1 + 0.2,
             datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
-            datetime.date(2029, 12, 31), (1 << 62) + 5, '{"k":1,"a":[1,2]}',
-            b"\x00\x01\xff\xfe", "hello é世界",
+            datetime.date(2029, 12, 31), (1 << 62) + 5,
+            "23:59:59.999999", "python", "read,exec",
+            '{"k":1,"a":[1,2]}', b"\x00\x01\xff\xfe", "hello é世界",
         ),
         # all-nullable-null row (null bitmap coverage)
         (2, "D", "r1", "x", None, None, None, None, None,
-         None, None, None, None, None, None),
-        # negative / boundary numerics
+         None, None, None, None, None, None, None, None, None),
+        # negative / boundary numerics; empty SET renders as ''
         (3, "U", "r2", "y", "d" * 32, -9_007_199_254_740_991, 2147483647,
          Decimal("-0.0001"), -1.5e308, datetime.datetime(1970, 1, 1, 0, 0, 1),
-         datetime.date(1969, 7, 20), 0, "{}", b"", ""),
+         datetime.date(1969, 7, 20), 0, "00:00:00.000001", "ts", "",
+         "{}", b"", ""),
     ]
     return spark.createDataFrame(rows, TYPED_EVENT_DDL)
 
@@ -56,3 +61,41 @@ def test_typed_decode_stays_arrow_batched(spark):
     )
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_typed_codec_version_and_length_guards(spark):
+    """Stale-version and truncated records fail loudly (reference
+    FORMAT_DESCRIPTION / event-size checks), never decode as garbage."""
+    import pytest
+
+    packed = encode_typed_events(_fixture_df(spark)).toPandas()
+    rec = bytes(packed["record"][0])
+    import pandas as pd
+
+    stale = bytes([rec[0] ^ 0x7F]) + rec[1:]
+    with pytest.raises(Exception, match="wire-format version"):
+        decode_typed_events(
+            spark.createDataFrame(pd.DataFrame({"record": [stale]}))
+        ).collect()
+    with pytest.raises(Exception, match="header-implied"):
+        decode_typed_events(
+            spark.createDataFrame(pd.DataFrame({"record": [rec[:-1]]}))
+        ).collect()
+
+
+def test_typed_codec_enum_dictionary_strict(spark):
+    """An ENUM value outside the stream dictionary is an encode error
+    (strict, like MySQL's column definition), and a custom dictionary
+    threads through both directions."""
+    import pytest
+
+    df = _fixture_df(spark)
+    with pytest.raises(Exception, match="not in the stream dictionary"):
+        encode_typed_events(df, enum_dict=("only-one",)).collect()
+
+    custom = ("rust", "go", "python", "java", "c", "js", "ts", "zig")
+    back = decode_typed_events(
+        encode_typed_events(df, enum_dict=custom), enum_dict=custom
+    )
+    got = {r["seq"]: r["category"] for r in back.collect()}
+    assert got == {1: "python", 2: None, 3: "ts"}
