@@ -284,19 +284,37 @@ def _minhash_perm_values(num_perm: int = 16) -> str:
 
 
 def _simhash_sql() -> str:
-    """Portable simhash pipeline in DuckDB SQL: same md5-half hashes, bit
-    votes as SUM aggregates, chunk blocking, bit_count(xor) hamming."""
+    """Portable simhash pipeline in DuckDB SQL: same md5-half hashes,
+    radix-packed bit votes (4 x 15-bit lanes per SUM, mirroring
+    dedup.simhash._LANES/_LANE_BITS), chunk blocking, bit_count(xor)
+    hamming."""
+    lanes, lane_bits, mask = 4, 15, (1 << 15) - 1
+
+    def packed(col: str, g: int) -> str:
+        return " + ".join(
+            f"((({col} >> {g * lanes + j}) & 1) << {lane_bits * j})"
+            for j in range(lanes)
+        )
+
     sums = ",\n         ".join(
-        f"CAST(sum((lo >> {i}) & 1) AS BIGINT) AS o{i}, "
-        f"CAST(sum((hi >> {i}) & 1) AS BIGINT) AS p{i}"
-        for i in range(32)
+        f"CAST(sum({packed('lo', g)}) AS BIGINT) AS go{g}, "
+        f"CAST(sum({packed('hi', g)}) AS BIGINT) AS gp{g}"
+        for g in range(32 // lanes)
     )
-    lo_asm = " + ".join(
-        f"(CASE WHEN 2*o{i} > n THEN {1 << i} ELSE 0 END)" for i in range(32)
-    )
-    hi_asm = " + ".join(
-        f"(CASE WHEN 2*p{i} > n THEN {1 << i} ELSE 0 END)" for i in range(32)
-    )
+
+    def asm(prefix: str) -> str:
+        terms = []
+        for g in range(32 // lanes):
+            for j in range(lanes):
+                bit = g * lanes + j
+                terms.append(
+                    f"(CASE WHEN 2*(({prefix}{g} >> {lane_bits * j}) & {mask}) > n "
+                    f"THEN {1 << bit} ELSE 0 END)"
+                )
+        return " + ".join(terms)
+
+    lo_asm = asm("go")
+    hi_asm = asm("gp")
     return f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),

@@ -32,6 +32,22 @@ from mysql_binlog_spark.functions.text import tokens_expr
 from mysql_binlog_spark.util import explode_nonempty, spread
 
 
+#: radix packing of the bit-vote sums: each SUM aggregate accumulates 4
+#: bit-counts in one long using 15-bit lanes (shifts 0/15/30/45). 15-bit
+#: lanes keep the TOP lane's total (n << 45) inside signed int64 for up
+#: to n = 32767 weighted tokens per doc — far beyond the corpus bound;
+#: 16-bit lanes would overflow the sign bit at n > 32767 anyway. This
+#: cuts the round-2 65-aggregate sketch (the dedup_simhash regression)
+#: to 17 aggregates: narrower partial-agg rows in the shuffle AND fewer
+#: codegen'd update expressions.
+_LANES = 4
+_LANE_BITS = 15
+_LANE_MASK = (1 << _LANE_BITS) - 1
+_GROUPS = 32 // _LANES  # per 32-bit half
+
+SIMHASH_MAX_TOKENS = _LANE_MASK  # per-doc weighted-token bound
+
+
 def simhash_halves(
     df: DataFrame,
     text_col: str = "text",
@@ -40,10 +56,12 @@ def simhash_halves(
 ) -> DataFrame:
     """(id, sh_hi, sh_lo) — the portable simhash as two int32-range longs.
 
-    Explode tokens -> one md5 per token -> 64 SUM bit-vote aggregates
-    (whole-stage codegen; map-side partial agg bounds the shuffle to one
-    row per doc per partition). Docs with zero tokens drop out (they have
-    no sketch to compare).
+    Explode tokens -> one md5 per token -> 17 radix-packed SUM aggregates
+    (4 bit-votes per long, whole-stage codegen; map-side partial agg
+    bounds the shuffle to one narrow row per doc per partition). Docs
+    with zero tokens drop out (no sketch to compare); docs beyond
+    ``SIMHASH_MAX_TOKENS`` weighted tokens would overflow a vote lane —
+    use variant='xxhash' for such corpora.
     """
     toked = spread(df, id_col).select(
         F.col(id_col).alias("id"), tokens_expr(text_col).alias("tk")
@@ -55,25 +73,38 @@ def simhash_halves(
         F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
+
+    def packed(col: str, g: int):
+        expr = None
+        for j in range(_LANES):
+            bit = g * _LANES + j
+            t = F.shiftleft(
+                F.shiftright(F.col(col), bit).bitwiseAND(F.lit(1)).cast("long"),
+                _LANE_BITS * j,
+            )
+            expr = t if expr is None else expr + t
+        return F.sum(expr)
+
     aggs = [F.count(F.lit(1)).alias("n")]
-    for i in range(32):
-        aggs.append(
-            F.sum(F.shiftright(F.col("lo"), i).bitwiseAND(F.lit(1))).alias(f"o{i}")
-        )
-        aggs.append(
-            F.sum(F.shiftright(F.col("hi"), i).bitwiseAND(F.lit(1))).alias(f"p{i}")
-        )
-    g = hx.groupBy("id").agg(*aggs)
-    lo_expr = F.lit(0).cast("long")
-    hi_expr = F.lit(0).cast("long")
-    for i in range(32):
-        lo_expr = lo_expr + F.when(
-            F.col(f"o{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        hi_expr = hi_expr + F.when(
-            F.col(f"p{i}") * 2 > F.col("n"), F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return g.select("id", hi_expr.alias("sh_hi"), lo_expr.alias("sh_lo"))
+    for g in range(_GROUPS):
+        aggs.append(packed("lo", g).alias(f"go{g}"))
+        aggs.append(packed("hi", g).alias(f"gp{g}"))
+    agg = hx.groupBy("id").agg(*aggs)
+
+    def assemble(prefix: str):
+        expr = F.lit(0).cast("long")
+        for g in range(_GROUPS):
+            for j in range(_LANES):
+                bit = g * _LANES + j
+                ones = F.shiftright(F.col(f"{prefix}{g}"), _LANE_BITS * j).bitwiseAND(
+                    F.lit(_LANE_MASK)
+                )
+                expr = expr + F.when(
+                    ones * 2 > F.col("n"), F.lit(1 << bit).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
+        return expr
+
+    return agg.select("id", assemble("gp").alias("sh_hi"), assemble("go").alias("sh_lo"))
 
 
 def token_hashes(text: Column | str, weighted: bool = True) -> Column:
