@@ -841,6 +841,22 @@ def q_cdc_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.diff(min(2, v_new), v_new)
 
 
+def q_cdc_version_diff_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same net change set as cdc_version_diff, but served from a
+    COMPACTED change cover: compact_changes rewrites the range's
+    per-epoch change files into one net-effect set (the reference's
+    rolling tar consolidation, common/client/cfs.go:84-171) and the diff
+    must read that instead — identical output, one file-set cost."""
+    t = _resumed_table(spark, sf_dir)
+    v_new = t.current_version()
+    v_old = min(2, v_new)
+    if v_old < v_new:
+        t.compact_changes(v_old, v_new)
+        files = t._incremental_change_files(v_old, v_new)
+        assert files and all("compact-" in f for f in files)
+    return t.diff(v_old, v_new)
+
+
 def q_cdc_repo_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3 skew pattern: hot-repo aggregation via two-stage salted groupBy —
     partial per (repo, salt), then final per repo. Result is identical to a
@@ -1086,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
         "cdc_version_diff": q_cdc_version_diff,
+        "cdc_version_diff_compacted": q_cdc_version_diff_compacted,
         "cdc_repo_stats_salted": q_cdc_repo_stats_salted,
         "cdc_rollup_cascade": q_cdc_rollup_cascade,
         "cdc_multi_source_hwm": q_cdc_multi_source_hwm,
@@ -1634,4 +1651,6 @@ FROM cand e, q
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
+    # compacted cover must produce the identical net change set
+    out["cdc_version_diff_compacted"] = out["cdc_version_diff"]
     return out
