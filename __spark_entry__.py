@@ -510,8 +510,8 @@ def q_cdc_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the codec breaks the hash match (reference full-type
     decode: row_event.go:395-540, 571-814)."""
     from mysql_binlog_spark.sources.typed_codec import (
-        decode_typed_events,
-        encode_typed_events,
+        decode_typed_events_arrow,
+        encode_typed_events_arrow,
     )
 
     from mysql_binlog_spark.util import spread
@@ -519,10 +519,13 @@ def q_cdc_decode_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="cdc_typed_"), "packed")
     # spread: the single-file events scan arrives as ~3 partitions, which
     # would cap the encode at 3 Python workers
-    encode_typed_events(spread(_typed_changelog_df(spark, sf_dir))).write.mode(
+    encode_typed_events_arrow(spread(_typed_changelog_df(spark, sf_dir))).write.mode(
         "overwrite"
     ).parquet(path)
-    dec = decode_typed_events(spark.read.parquet(path))
+    # Arrow-native decode (mapInArrow, buffer-built columns): removes the
+    # per-row Python-object floor the round-2 audit flagged; the pandas
+    # decoder is the cross-checked reference implementation
+    dec = decode_typed_events_arrow(spark.read.parquet(path))
     return dec.filter(F.col("seq") % 16 == 0).select(
         "seq",
         "op",
