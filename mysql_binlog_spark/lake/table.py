@@ -64,7 +64,7 @@ import time
 import uuid
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -125,25 +125,33 @@ def bucket_expr(n_buckets: int):
 # a small bloom of the repos present per bucket (BLOOM_BITS bits, k=2),
 # OR-accumulated at merge time from the batch side. Monotone-superset by
 # construction (deletes never clear bits), so membership "no" is exact
-# and bucket pruning can never miss data. md5-derived positions so the
-# driver-side probe computes the identical hash without a Spark job.
+# and bucket pruning can never miss data. Positions come from JVM
+# xxhash64 (pure long math — this expression runs per batch key in EVERY
+# merge's stats aggregation, so it must be cheap; an md5 hex round-trip
+# was measurably heavier); the rare driver-side probe evaluates the same
+# expression on a 1-row DataFrame, so the two sides agree by
+# construction.
 
 BLOOM_BITS = 1024
+_BLOOM_SALT = 0x9E3779B9
 
 
-def _repo_bloom_positions(repo: str) -> tuple[int, int]:
-    import hashlib
-
-    h = hashlib.md5(repo.encode("utf-8")).hexdigest()
-    return int(h[:8], 16) % BLOOM_BITS, int(h[8:16], 16) % BLOOM_BITS
-
-
-def _repo_bloom_pos_expr():
-    """Spark-side positions, bit-identical to ``_repo_bloom_positions``."""
-    h = F.md5(F.col("repo").cast("binary"))
-    p1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % BLOOM_BITS
-    p2 = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % BLOOM_BITS
+def _repo_bloom_pos_expr(repo: Column | None = None):
+    r = F.col("repo") if repo is None else repo
+    p1 = F.pmod(F.xxhash64(r), F.lit(BLOOM_BITS))
+    p2 = F.pmod(F.xxhash64(r, F.lit(_BLOOM_SALT)), F.lit(BLOOM_BITS))
     return F.array(p1, p2)
+
+
+def _repo_bloom_positions(spark: SparkSession, repo: str) -> tuple[int, int]:
+    """Driver-side probe: the SAME Spark expression on one literal row
+    (a millisecond local job; DDL is metadata-rate)."""
+    row = (
+        spark.range(1)
+        .select(_repo_bloom_pos_expr(F.lit(repo)).alias("p"))
+        .collect()[0]["p"]
+    )
+    return int(row[0]), int(row[1])
 
 
 def _join(*parts: str) -> str:
@@ -325,7 +333,7 @@ class LakeTable:
         """Buckets whose repo bloom admits ``repo`` — the DDL read set.
         A bucket with no bloom recorded (pre-upgrade manifest, or never
         merged through the bloom path) must be read (superset-safe)."""
-        p1, p2 = _repo_bloom_positions(repo)
+        p1, p2 = _repo_bloom_positions(self.spark, repo)
         blooms = manifest.get("repo_blooms", {})
         out: list[int] = []
         for b in manifest["buckets"]:
@@ -758,7 +766,7 @@ class LakeTable:
                 .unionByName(moved, allowMissingColumns=True)
             )
             # the moved repo's bloom bits join the target buckets
-            p1, p2 = _repo_bloom_positions(new_repo)
+            p1, p2 = _repo_bloom_positions(self.spark, new_repo)
             ddl_blooms = {str(b): (1 << p1) | (1 << p2) for b in tgt_buckets}
             # a rename INTO an existing repo can collide on (repo, path):
             # resolve by the engine-wide last-writer-wins rule (newest seq)
