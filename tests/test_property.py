@@ -124,3 +124,68 @@ def test_net_effect_consistent_with_snapshot(spark, seed, n):
     # (by construction net_op='I' iff first_op == 'I' and not annihilated)
     for r in net.itertuples():
         assert r.net_op in ("I", "U", "D")
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(300, 900),
+    p_ddl=st.floats(0.0, 0.01),
+    cut_frac=st.floats(0.2, 0.8),
+)
+def test_incremental_diff_and_compaction_match_full_join(
+    spark, seed, n, p_ddl, cut_frac
+):
+    """For RANDOM streams (including DDL epochs, whose change rows reuse
+    row seqs — the round-2 ADVICE tie hazard) the incremental diff, the
+    compacted diff, and the snapshot full-outer-join diff must agree on
+    EVERY version range. This pins the (version, seq) net-effect algebra
+    and the compaction composition to the model answer."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_spark.engine.pipeline import run_ingest
+    from mysql_binlog_spark.lake.table import LakeTable
+
+    spec = ChangelogSpec(
+        n_events=n, seed=seed, n_repos=6, p_insert=0.4, p_update=0.3,
+        p_delete=0.2, p_rename=0.05, p_ddl=p_ddl,
+    )
+    ev = generate_events_pandas(spec)
+    d = tempfile.mkdtemp(prefix="prop_diff_")
+    path = f"{d}/events.parquet"
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), path)
+    t = LakeTable(spark, f"{d}/lake", n_buckets=4, track_changes=True)
+    run_ingest(spark, path, t, epoch_size=max(n // 5, 50))
+    head = t.current_version()
+    assert head >= 2
+
+    def norm(df):
+        return (
+            df.toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    cut = max(1, min(head - 1, int(head * cut_frac)))
+    ranges = [(0, head), (cut, head), (0, cut)]
+    # incremental vs full join on every range
+    for a, b in ranges:
+        inc = t._diff_incremental(a, b)
+        assert inc is not None
+        pd.testing.assert_frame_equal(
+            norm(inc), norm(t._diff_full(a, b)), check_dtype=False
+        )
+    # compact a prefix range; all range diffs must be unchanged
+    t.compact_changes(0, cut)
+    for a, b in ranges:
+        pd.testing.assert_frame_equal(
+            norm(t.diff(a, b)), norm(t._diff_full(a, b)), check_dtype=False
+        )
