@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--max-files-per-trigger", type=int, default=4)
     b.add_argument("--n-buckets", type=int, default=None)
     b.add_argument("--timeout-sec", type=int, default=300)
+    b.add_argument(
+        "--source", default="",
+        help="upstream name (GTID-domain analog); streams with distinct "
+        "sources and disjoint key spaces may tail one table concurrently",
+    )
 
     s = sub.add_parser("snapshot", help="export table state (optionally a past version)")
     s.add_argument("--table", required=True)
@@ -120,6 +125,7 @@ def main(argv: list[str] | None = None) -> int:
             checkpoint_dir=args.checkpoint,
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=not args.continuous,
+            source=args.source,
         )
         if args.continuous:
             # bounded tail for CLI use; the stream keeps running until the

@@ -48,12 +48,17 @@ def stream_ingest(
     checkpoint_dir: str,
     max_files_per_trigger: int = 4,
     available_now: bool = True,
+    source: str = "",
 ):
     """Stream changelog files into the lake table; returns the query.
 
     ``available_now=True`` drains everything currently in the directory and
     stops (bounded run — the `merge` binary analog); False keeps tailing
-    (the `backup` binary analog).
+    (the `backup` binary analog). ``source`` names the upstream (GTID
+    domain analog): multiple streams with distinct sources and disjoint
+    key spaces can tail into ONE table concurrently, each fencing on its
+    own watermark — the multi-master shape (reference: one backup process
+    per instance, common/inter/offset.go:24-33).
     """
     src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
 
@@ -62,12 +67,12 @@ def stream_ingest(
         # the committed watermark are new; a fully replayed batch (crash
         # replay OR lost-checkpoint re-read) filters to empty and commits
         # nothing. batch_id is ignored on purpose.
-        hwm = table.high_watermark(source="")
+        hwm = table.high_watermark(source=source)
         fresh = batch_df.filter(F.col("seq") > hwm)
         if fresh.limit(1).isEmpty():
             return
         batch = collapse_latest(expand_renames(fresh))
-        table.merge(batch, epoch=table.next_epoch_id())
+        table.merge(batch, epoch=table.next_epoch_id(source), source=source)
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

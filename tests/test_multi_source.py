@@ -98,3 +98,57 @@ def test_per_source_fence_independence(spark, shards, tmp_path):
         .sort_values(["repo", "path"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, _want(shards), check_dtype=False)
+
+
+def test_concurrent_streaming_sources_one_table(spark, shards, tmp_path):
+    """Two live streams (distinct sources, disjoint key spaces) tail into
+    ONE table concurrently — per-source watermark fences + optimistic
+    commit retries make the interleaved commits safe; final state equals
+    the per-shard oracle union (the multi-master `backup` shape)."""
+    from mysql_binlog_spark.changelog.generator import EVENT_SCHEMA
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    dirs = {}
+    for name in ("alpha", "beta"):
+        ev = shards[name][0]
+        d = tmp_path / f"stream_{name}"
+        d.mkdir()
+        step = len(ev) // 4
+        for i in range(4):
+            chunk = ev.iloc[i * step : (i + 1) * step if i < 3 else len(ev)]
+            pq.write_table(
+                # explicit schema: an all-null lang chunk must not infer int
+                pa.Table.from_pandas(
+                    chunk, schema=EVENT_SCHEMA, preserve_index=False
+                ),
+                str(d / f"part-{i:04d}.parquet"),
+            )
+        dirs[name] = str(d)
+
+    root = str(tmp_path / "lake")
+    queries = []
+    for name in ("alpha", "beta"):
+        t = LakeTable(spark, root, n_buckets=8)
+        queries.append(
+            stream_ingest(
+                spark, dirs[name], t,
+                checkpoint_dir=str(tmp_path / f"ckpt_{name}"),
+                max_files_per_trigger=1,  # several interleaved commits each
+                available_now=True, source=name,
+            )
+        )
+    for q in queries:
+        q.awaitTermination(240)
+
+    t = LakeTable(spark, root)
+    got = (
+        table_snapshot(t).toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _want(shards), check_dtype=False)
+    assert t.high_watermark("alpha") == 1999
+    assert t.high_watermark("beta") == 2999
+    assert t.sources() == ["alpha", "beta"]
+    # both sources committed multiple interleaved epochs
+    assert len(t.epochs_applied("alpha")) >= 2
+    assert len(t.epochs_applied("beta")) >= 2
