@@ -189,3 +189,84 @@ def test_incremental_diff_and_compaction_match_full_join(
         pd.testing.assert_frame_equal(
             norm(t.diff(a, b)), norm(t._diff_full(a, b)), check_dtype=False
         )
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n=st.integers(200, 600),
+    ddl_at=st.floats(0.2, 0.8),
+    truncate_first=st.booleans(),
+)
+def test_ddl_paths_agree_on_rename_collisions(
+    spark, seed, n, ddl_at, truncate_first
+):
+    """Rename of a live repo ONTO another live repo (possibly after a
+    truncate of the source) — the case real MySQL forbids, which our
+    engine resolves by last-writer-wins. The python oracle's semantics
+    are undefined here, so the two ENGINE paths (single-pass expression
+    snapshot vs sequential apply_repo_ddl commits) are pinned to each
+    other instead."""
+    import random
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_spark.changelog.generator import EVENT_SCHEMA
+    from mysql_binlog_spark.engine.pipeline import run_ingest, table_snapshot
+    from mysql_binlog_spark.lake.table import LakeTable
+    from mysql_binlog_spark.operators.ddl import snapshot_with_ddl
+
+    ev = generate_events_pandas(
+        ChangelogSpec(n_events=n, seed=seed, n_repos=5, p_delete=0.15)
+    )
+    # re-seq to even numbers; inject DDL at odd seqs mid-stream
+    ev = ev.assign(seq=ev.seq * 2)
+    rnd = random.Random(seed)
+    repos = sorted(ev.repo.unique())
+    src_repo, tgt_repo = rnd.sample(repos, 2)
+    at = int(n * ddl_at) * 2 + 1
+    stmts = []
+    if truncate_first:
+        stmts.append((at, f"TRUNCATE TABLE `{src_repo}`"))
+        stmts.append((at + 2, f"RENAME TABLE {src_repo} TO {tgt_repo}"))
+    else:
+        stmts.append((at, f"RENAME TABLE {src_repo} TO {tgt_repo}"))
+    ddl_rows = pd.DataFrame(
+        [
+            {
+                "repo": "_", "path": "_", "seq": s, "op": "Q",
+                "commit": "", "lang": None, "content": None,
+                "before_content": None, "new_path": None, "statement": stmt,
+            }
+            for s, stmt in stmts
+        ]
+    )
+    ev = pd.concat([ev, ddl_rows], ignore_index=True)
+
+    d = tempfile.mkdtemp(prefix="prop_coll_")
+    path = f"{d}/events.parquet"
+    pq.write_table(
+        pa.Table.from_pandas(ev, schema=EVENT_SCHEMA, preserve_index=False), path
+    )
+
+    def norm(df):
+        cols = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+        return (
+            df.toPandas()[cols].sort_values(["repo", "path"]).reset_index(drop=True)
+        )
+
+    single_pass = norm(snapshot_with_ddl(spark.read.parquet(path)))
+    t = LakeTable(spark, f"{d}/lake", n_buckets=4)
+    run_ingest(spark, path, t, epoch_size=max(n // 3, 50))
+    sequential = norm(table_snapshot(t))
+    pd.testing.assert_frame_equal(single_pass, sequential, check_dtype=False)
+    # (src_repo may legitimately still exist: events AFTER the rename's
+    # seq keep writing to it — only the pre-DDL keys moved)
+    assert len(single_pass) > 0
