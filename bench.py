@@ -152,6 +152,7 @@ def bench_queries(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
     round deltas unattributable — the round-2 judge's bench-determinism
     ask. The median absorbs one bad run per query; the first rep also
     serves as that query's plan-compile warmup."""
+    import glob
     import statistics
 
     import __spark_entry__ as entrymod
@@ -166,8 +167,24 @@ def bench_queries(spark, sf_dir: str, reps: int = 3) -> dict[str, float]:
             # noop sink forces full computation without materializing output
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             times.append(time.monotonic() - t0)
+            _sweep_query_tempdirs()
         out[name] = round(statistics.median(times), 3)
     return out
+
+
+def _sweep_query_tempdirs() -> None:
+    """Benchmark hygiene: each rep of the cdc queries stages fixture
+    lakes / packed files in fresh tempdirs; with median-of-3 these
+    accumulate gigabytes across the suite, evicting page cache and
+    skewing the LATER queries (late-suite drift observed in r3 runs).
+    A query's tempdirs are dead the moment its action finishes."""
+    import glob
+
+    tmp = tempfile.gettempdir()
+    for prefix in ("cdc_ev_", "cdc_lake_", "cdc_typed_", "cdc_packed_",
+                   "cdc_stream_", "cdc_ms_", "lsh_idx_", "ivf_idx_"):
+        for d in glob.glob(os.path.join(tmp, prefix + "*")):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def main() -> None:
