@@ -387,7 +387,19 @@ class LakeTable:
     def high_watermark(self, source: str | None = None) -> int:
         """Max seq applied across committed epochs (-1 if empty).
         ``source`` restricts to one upstream's epochs — the per-UUID
-        GTID-set watermark analog."""
+        GTID-set watermark analog.
+
+        O(1): the head manifest carries ``source_hwms`` (running max per
+        source), so the streaming fence doesn't re-walk the whole
+        manifest chain every micro-batch (O(epochs) per batch = O(n^2)
+        cumulative on a long-running stream). Pre-upgrade tables (no
+        ``source_hwms`` key) fall back to the lineage walk."""
+        m = self.read_manifest()
+        hw = m.get("source_hwms")
+        if hw is not None:
+            if source is not None:
+                return int(hw.get(source, -1))
+            return max((int(v) for v in hw.values()), default=-1)
         hwms = [
             c["hwm_seq"]
             for c in self._checkpoint_rows()
@@ -1189,6 +1201,23 @@ class LakeTable:
         blooms = dict(manifest.get("repo_blooms", {}))
         for b, bits in (new_blooms or {}).items():
             blooms[b] = f"{int(blooms.get(b, '0'), 16) | bits:x}"
+        # running per-source seq watermark (O(1) high_watermark reads);
+        # a pre-upgrade table seeds it from ONE lineage walk at its first
+        # new commit so no source's history is forgotten
+        if "source_hwms" in manifest:
+            source_hwms = dict(manifest["source_hwms"])
+        else:
+            source_hwms = {}
+            for c in self._checkpoint_rows():
+                if c["hwm_seq"] is not None:
+                    s = c.get("source", "")
+                    source_hwms[s] = max(int(source_hwms.get(s, -1)), int(c["hwm_seq"]))
+        epoch_hwm = max(
+            (r["hwm_seq"] for r in cp_rows if r.get("hwm_seq") is not None),
+            default=None,
+        )
+        if epoch_hwm is not None:
+            source_hwms[source] = max(int(source_hwms.get(source, -1)), int(epoch_hwm))
         wm, extra = self._advance_fence(manifest, epoch, source)
         if source == "":
             default_wm, default_extra = wm, extra
@@ -1208,6 +1237,8 @@ class LakeTable:
             "buckets": buckets,
             # per-bucket repo membership blooms (DDL bucket pruning)
             "repo_blooms": blooms,
+            # running max applied seq per source (O(1) fence reads)
+            "source_hwms": source_hwms,
             "schema": new_schema or manifest["schema"],
             # delta only — readers walk the chain (see _checkpoint_rows)
             "checkpoints": cp_rows,

@@ -138,3 +138,19 @@ def test_delete_only_batch_can_empty_bucket(spark, lake):
     )
     lake.merge(df2, epoch=1)
     assert _snap(lake).shape[0] == 0
+
+
+def test_high_watermark_is_o1_and_matches_lineage_walk(spark, small_changelog, lake):
+    """The head manifest carries running per-source watermarks so the
+    streaming fence reads O(1) instead of walking the manifest chain per
+    micro-batch; the fast path must equal the lineage-walk answer."""
+    run_ingest(spark, small_changelog["path"], lake, epoch_size=1000)
+    m = lake.read_manifest()
+    assert "source_hwms" in m
+    fast = lake.high_watermark()
+    walk = max(
+        c["hwm_seq"] for c in lake._checkpoint_rows() if c["hwm_seq"] is not None
+    )
+    assert fast == walk == 4999
+    assert lake.high_watermark(source="") == 4999
+    assert lake.high_watermark(source="nope") == -1
