@@ -17,9 +17,10 @@ Statement kinds and their state semantics (SURVEY §2.8 C7, §2.9 T8):
 
 - TRUNCATE / DROP TABLE  -> every key of the repo whose last event is
   below the DDL's seq is deleted (re-inserts after the DDL survive);
-- RENAME TABLE a TO b    -> every key of repo a below the DDL's seq is
-  re-keyed to repo b (possibly merging with b's own keys under
-  last-writer-wins — same as the reference replaying the rename);
+- RENAME TABLE a TO b    -> repo a's LIVE state at the DDL's seq moves
+  to repo b (possibly merging with b's own keys under last-writer-wins;
+  a's tombstones do not travel — same as the reference replaying the
+  rename against live table state);
 - CREATE / ALTER / CREATE INDEX -> no state change; still a flush
   barrier in the epoch pipeline (the reference flushes-then-appends).
 
@@ -249,60 +250,30 @@ def _parse_ddl_rows(rows, default_db: str = "main") -> list[DdlOp]:
     return ops
 
 
-def rename_remap_expr(ops: list[DdlOp], repo: Column, seq: Column) -> Column:
-    """Repo remapping under renames, applied in stream order.
-
-    A rename at seq s moves every event of the old repo with seq < s to
-    the new repo. Applying the (few) renames sequentially in seq order
-    resolves chains (a->b then b->c) exactly like replaying them.
-    """
-    expr = repo
-    for op in sorted(ops, key=lambda o: o.seq):
-        if op.action == "rename":
-            expr = F.when(
-                (expr == op.repo) & (seq < op.seq), F.lit(op.new_repo)
-            ).otherwise(expr)
-    return expr
-
-
-def truncate_kill_expr(ops: list[DdlOp], repo: Column, seq: Column) -> Column:
-    """True iff the event is erased by some truncate/drop in the plan.
-
-    Origin-lineage semantics: an event dies when its repo name AT THE
-    TIME OF THE TRUNCATE equals the truncated repo and the event precedes
-    it. Walking the DDL ops in seq order while folding renames into the
-    tracked name gives exactly "this event's repo at each truncate's
-    seq" — so a later ``RENAME truncated TO existing`` cannot kill the
-    target repo's own pre-existing keys (they were never named
-    ``truncated`` at the truncate's seq). This matches replaying the DDL
-    sequentially (``LakeTable.apply_repo_ddl``), which truncates state
-    before the rename moves anything.
-    """
-    kill = F.lit(False)
-    name = repo
-    for op in sorted(ops, key=lambda o: o.seq):
-        if op.action == "rename":
-            name = F.when(
-                (name == op.repo) & (seq < op.seq), F.lit(op.new_repo)
-            ).otherwise(name)
-        elif op.action in ("truncate", "drop"):
-            kill = kill | ((name == op.repo) & (seq < op.seq))
-    return kill
-
-
 def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
-    """Single-pass snapshot honoring DDL events — the bounded `merge`
-    analog with the flush-before-DDL semantics folded into expressions:
+    """Bounded-`merge` snapshot honoring DDL events, with each
+    state-affecting DDL applied as a sequential barrier — EXACTLY the
+    semantics of replaying the stream through the epoch pipeline
+    (``LakeTable.apply_repo_ddl`` at real barriers; the reference replays
+    DDL against live MySQL state, recover/main.go:148-181):
 
-        truncate-lineage kill filter (events erased by a later
-        truncate/drop of the repo they belonged to at that moment)
-        ->  rename remap (seq-ordered whens)  ->  expand_renames
-        ->  collapse_latest
+    - TRUNCATE/DROP at seq S: events of the repo below S are erased
+      (a cheap filter — state at the barrier is discarded);
+    - RENAME a->b at seq S: a's *live state at S* moves to b. The
+      affected pre-S events are collapsed FIRST and delete-winners
+      dropped, because renaming a table moves its current contents, not
+      its tombstone history — a key of ``a`` already dead at S must NOT
+      kill ``b``'s own live key under the later LWW collapse (the lake
+      path cannot see that tombstone either: dead keys are physically
+      absent from state). The moved winner keeps its seq, so it competes
+      with b's own events under the engine-wide last-writer-wins rule,
+      exactly like ``apply_repo_ddl``'s max_by collision resolve.
 
-    The epoch pipeline achieves the same result incrementally via
-    ``LakeTable.apply_repo_ddl`` at real barriers (engine.pipeline);
-    ``tests/test_ddl.py`` pins the two paths to each other on rename
-    collisions.
+    Each rename adds one extra bounded collapse (shuffle) of the renamed
+    repo's events — DDL is metadata-scale, so the plan stays shallow; a
+    rename-free stream keeps the single-shuffle shape.
+    ``tests/test_property.py`` pins this path to the sequential lake path
+    on rename collisions (including dead-source-key cases).
     """
     from mysql_binlog_spark.operators.collapse import (
         PAYLOAD_COLS,
@@ -311,13 +282,33 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
     )
 
     ops = extract_ddl_ops(events, default_db)
-    rows = events.filter(F.col("op") != "Q")
-    rows = rows.filter(~truncate_kill_expr(ops, F.col("repo"), F.col("seq")))
-    remapped = rows.withColumn(
-        "repo", rename_remap_expr(ops, F.col("repo"), F.col("seq"))
-    )
-    latest = collapse_latest(expand_renames(remapped))
-    kept = latest.filter(F.col("op") != "D")
+    null_s = F.lit(None).cast("string")
+    # normalized working stream: every row targets exactly one key
+    cur = expand_renames(events.filter(F.col("op") != "Q"))
+    for op in sorted(ops, key=lambda o: o.seq):
+        if op.action in ("truncate", "drop"):
+            cur = cur.filter(
+                ~((F.col("repo") == op.repo) & (F.col("seq") < op.seq))
+            )
+        elif op.action == "rename":
+            pre = (F.col("repo") == op.repo) & (F.col("seq") < op.seq)
+            moved = (
+                collapse_latest(cur.filter(pre))
+                .filter(F.col("op") != "D")
+                .select(
+                    "seq",
+                    # no same-(seq,sub) rival is possible on the target
+                    # key (events at one seq target the source repo only)
+                    F.lit(0).alias("sub"),
+                    F.lit(op.new_repo).alias("repo"),
+                    "path",
+                    "op",
+                    *PAYLOAD_COLS,
+                    null_s.alias("before_content"),
+                )
+            )
+            cur = cur.filter(~pre).unionByName(moved)
+    kept = collapse_latest(cur).filter(F.col("op") != "D")
     return kept.select(
         "repo",
         "path",
