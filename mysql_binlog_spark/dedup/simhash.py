@@ -104,7 +104,28 @@ def simhash_halves(
                 ).otherwise(F.lit(0).cast("long"))
         return expr
 
-    return agg.select("id", assemble("gp").alias("sh_hi"), assemble("go").alias("sh_lo"))
+    # the documented lane bound, ENFORCED: a doc beyond it would silently
+    # corrupt every vote above the overflowing lane, so fail the job
+    # loudly instead (adds +0 to the sketch on the happy path — stays
+    # inside codegen; n is already aggregated, no extra pass)
+    overflow_guard = F.when(
+        F.col("n") > F.lit(SIMHASH_MAX_TOKENS),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash vote-lane overflow: doc "),
+                F.col("id").cast("string"),
+                F.lit(
+                    f" has > {SIMHASH_MAX_TOKENS} weighted tokens; "
+                    "use variant='xxhash' for such corpora"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return agg.select(
+        "id",
+        (assemble("gp") + overflow_guard).alias("sh_hi"),
+        assemble("go").alias("sh_lo"),
+    )
 
 
 def token_hashes(text: Column | str, weighted: bool = True) -> Column:

@@ -58,8 +58,23 @@ class CommitLock:
 class LocalFileLock(CommitLock):
     """Lease lock over a shared POSIX/NFS mount: O_EXCL-create a sidecar
     ``<path>.lock`` holding the owner token; a lock older than
-    ``lease_sec`` is considered abandoned (crashed holder) and is broken
-    by delete-then-recreate — only one breaker wins the O_EXCL recreate."""
+    ``lease_sec`` is considered abandoned (crashed holder).
+
+    Breaking an abandoned lock is serialized through an O_EXCL
+    ``.lock.break`` marker: exactly one breaker holds the marker, and it
+    re-verifies staleness *while holding it* before unlinking — a bare
+    stat-then-unlink would let two breakers both "win" and one of them
+    delete the other's freshly recreated lock (mutual exclusion lost).
+    With the marker, no other breaker can interleave a recreate between
+    the re-check and the unlink.
+
+    Holders MUST finish their critical section within ``lease_sec``
+    (the commit critical section is a couple of small file ops; 60s is
+    orders of magnitude above it). A live-but-slower-than-lease holder
+    can still be broken — that is the documented lease contract, same as
+    any lease-based lock without fencing tokens; stores that need
+    stronger guarantees should use conditional-put (S3ConditionalPutIO)
+    or a real lock service behind this interface."""
 
     def __init__(self, lease_sec: float = 60.0, poll_sec: float = 0.02):
         self.lease_sec = lease_sec
@@ -72,6 +87,38 @@ class LocalFileLock(CommitLock):
 
         return re.sub(r"^file:/{0,2}/", "/", path) + ".lock"
 
+    def _stale(self, p: str) -> bool:
+        return time.time() - os.stat(p).st_mtime > self.lease_sec
+
+    def _break_stale(self, lp: str) -> None:
+        """Single-winner break of an abandoned ``lp``: O_EXCL-create the
+        break marker, re-verify staleness under it, then unlink."""
+        bp = lp + ".break"
+        try:
+            bfd = os.open(bp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another breaker is at work; clean ITS marker only if that
+            # breaker crashed too (markers live microseconds otherwise)
+            try:
+                if self._stale(bp):
+                    os.unlink(bp)
+            except FileNotFoundError:
+                pass
+            time.sleep(self.poll_sec)
+            return
+        try:
+            os.close(bfd)
+            try:
+                if self._stale(lp):  # re-check under the marker
+                    os.unlink(lp)
+            except FileNotFoundError:
+                pass
+        finally:
+            try:
+                os.unlink(bp)
+            except FileNotFoundError:
+                pass
+
     def acquire(self, path: str) -> str:
         lp = self._lock_path(path)
         token = uuid.uuid4().hex
@@ -83,9 +130,8 @@ class LocalFileLock(CommitLock):
                 return token
             except FileExistsError:
                 try:
-                    age = time.time() - os.stat(lp).st_mtime
-                    if age > self.lease_sec:
-                        os.unlink(lp)  # abandoned; race to recreate
+                    if self._stale(lp):
+                        self._break_stale(lp)
                         continue
                 except FileNotFoundError:
                     continue  # released between the open and the stat
@@ -150,6 +196,10 @@ class LocalTableIO:
 
     def isdir(self, path: str) -> bool:
         return os.path.isdir(path)
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds); vacuum's orphan grace."""
+        return os.stat(path).st_mtime
 
 
 class HadoopTableIO:
@@ -259,6 +309,10 @@ class HadoopTableIO:
         jp = self._path(path)
         return fs.exists(jp) and fs.getFileStatus(jp).isDirectory()
 
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds); vacuum's orphan grace."""
+        return self._fs(path).getFileStatus(self._path(path)).getModificationTime() / 1000.0
+
 
 class S3ConditionalPutIO:
     """Object-store TableIO using conditional writes — multi-writer-safe
@@ -316,7 +370,14 @@ class S3ConditionalPutIO:
         return body.decode("utf-8")
 
     def create_exclusive(self, path: str, data: str) -> None:
-        """THE commit: conditional PUT; 412 => somebody else committed."""
+        """THE commit: conditional PUT; 412 => somebody else committed.
+
+        409 ConditionalRequestConflict (a rival conditional PUT on the
+        same key is *in flight*, per AWS conditional-write semantics) is
+        also mapped to FileExistsError: treating it as a lost race is
+        always safe — the caller's optimistic-retry loop re-reads the
+        head version, and if the rival PUT actually failed the retry
+        recomputes the same version and wins the next attempt."""
         try:
             self.client.put_object(
                 Bucket=self.bucket,
@@ -325,7 +386,12 @@ class S3ConditionalPutIO:
                 IfNoneMatch="*",
             )
         except Exception as e:
-            if _s3_code(e) in ("PreconditionFailed", "412"):
+            if _s3_code(e) in (
+                "PreconditionFailed",
+                "412",
+                "ConditionalRequestConflict",
+                "409",
+            ):
                 raise FileExistsError(path) from e
             raise
 
@@ -385,6 +451,12 @@ class S3ConditionalPutIO:
             if resp.get("KeyCount", 0) > 0:
                 return True
         return False
+
+    def mtime(self, path: str) -> float:
+        """Last-modified time (epoch seconds); vacuum's orphan grace."""
+        resp = self.client.head_object(Bucket=self.bucket, Key=self._key(path))
+        lm = resp["LastModified"]
+        return lm.timestamp() if hasattr(lm, "timestamp") else float(lm)
 
 
 def _s3_code(e: Exception) -> str:

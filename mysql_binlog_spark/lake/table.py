@@ -803,9 +803,13 @@ class LakeTable:
             # target-side change rows must reflect the ACTUAL transition:
             # I when the target key did not exist, U when the moved row
             # wins a collision, nothing when the pre-existing target wins.
+            # derived from the already-read (and largely persisted) input
+            # rather than a second read_state scan of the target buckets
             tgt_prior = (
-                self.read_state(buckets=tgt_buckets)
-                .filter(F.col("repo") == F.lit(new_repo))
+                base.filter(
+                    F.col("bucket").isin(tgt_buckets)
+                    & (F.col("repo") == F.lit(new_repo))
+                )
                 .select(
                     "path",
                     F.col("seq").alias("_tseq"),
@@ -1106,7 +1110,10 @@ class LakeTable:
         return len(out)
 
     def vacuum(
-        self, keep_versions: int = 1, change_retention_versions: int | None = None
+        self,
+        keep_versions: int = 1,
+        change_retention_versions: int | None = None,
+        orphan_grace_sec: float = 3600.0,
     ) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
         manifests — the analog of the reference's rolling tar consolidation
@@ -1116,55 +1123,91 @@ class LakeTable:
         version afterwards fails on its missing data files, exactly like
         Iceberg after expire_snapshots.
 
-        ``changes/`` retention: orphaned change files (lost commit races)
-        are always reclaimed. With ``change_retention_versions=N``,
-        per-epoch change files of versions <= current - N are retired and
-        the manifest's ``changes_floor`` advances (a maintenance commit),
-        so ``diff`` over ranges below the floor falls back to the
-        snapshot join EXPLICITLY instead of erroring on missing files —
-        unless a compaction (``compact_changes``) covers the range, which
-        keeps it incrementally diffable at one file-set's cost. Without
-        the parameter, referenced change files are kept forever (round-2
-        behavior, minus the orphans).
+        Two deletion classes, ordered for crash/concurrency safety:
+
+        - *expired* files (referenced by some committed manifest, all of
+          them older than the retention horizon) are deleted outright —
+          and for ``changes/`` only AFTER the advanced ``changes_floor``
+          is durably committed, so a crash mid-vacuum can never leave a
+          committed manifest pointing at deleted files (worst case:
+          retired-but-present files, reclaimed by the next run);
+        - *orphans* (referenced by NO committed manifest: staging leaks
+          and lost commit races) are deleted only when older than
+          ``orphan_grace_sec`` — a concurrent writer's staged files look
+          exactly like orphans until its commit lands, so fresh
+          unreferenced files must survive the sweep (Iceberg's
+          remove-orphan-files grace, default 1h here).
+
+        With ``change_retention_versions=N``, per-epoch change files of
+        versions <= current - N are retired and the floor advances (a
+        maintenance commit); ``diff`` over ranges below the floor falls
+        back to the snapshot join EXPLICITLY instead of erroring —
+        unless a compaction (``compact_changes``) covers the range.
+        Without the parameter, referenced change files are kept forever.
 
         Path comparison is safe against root-spelling drift because
         ``self.root`` is normalized at open and manifests record paths
         under the normalized root.
         """
-        cur = self.current_version()
-        keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
-        live: set[str] = set()
-        for v in keep:
-            m = self.read_manifest(v)
-            for files in m["buckets"].values():
-                live.update(files)
-        removed: list[str] = []
-        for p in self.io.walk_files(_join(self.root, "data"), ".parquet"):
-            if p not in live:
-                self.io.delete(p)
-                removed.append(p)
+        import time as _time
 
-        # ---- change-file retention ----
+        cur = self.current_version()
+        # advance the changes floor FIRST: deletion only begins once the
+        # fallback decision is durable in the head manifest
         head = self.read_manifest(cur) if cur else {}
         floor = head.get("changes_floor", 0)
         new_floor = floor
         if change_retention_versions is not None:
             new_floor = max(floor, cur - change_retention_versions)
-        live_chg: set[str] = set()
-        for v in range(1, cur + 1):
-            entry = self.read_manifest(v).get("changes")
-            if entry and v > new_floor:
-                live_chg.update(entry)
-        for k, fl in head.get("change_compactions", {}).items():
-            live_chg.update(fl)  # compactions survive the floor by design
-        for p in self.io.walk_files(_join(self.root, "changes"), ".parquet"):
-            if p not in live_chg:
-                self.io.delete(p)
-                removed.append(p)
         if new_floor != floor:
             self._commit_maintenance(
                 lambda nxt: nxt.update({"changes_floor": new_floor})
             )
+            cur = self.current_version()
+            head = self.read_manifest(cur)
+
+        keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        live: set[str] = set()
+        referenced: set[str] = set()
+        for v in range(1, cur + 1):
+            m = self.read_manifest(v)
+            for files in m["buckets"].values():
+                referenced.update(files)
+                if v in keep:
+                    live.update(files)
+
+        now = _time.time()
+
+        def _reclaimable(p: str, referenced_set: set[str]) -> bool:
+            if p in referenced_set:
+                return True  # expired: a committed manifest owned it
+            try:
+                return now - self.io.mtime(p) > orphan_grace_sec
+            except FileNotFoundError:
+                return False
+
+        removed: list[str] = []
+        for p in self.io.walk_files(_join(self.root, "data"), ".parquet"):
+            if p not in live and _reclaimable(p, referenced):
+                self.io.delete(p)
+                removed.append(p)
+
+        # ---- change-file retention (floor already committed above) ----
+        live_chg: set[str] = set()
+        ref_chg: set[str] = set()
+        for v in range(1, cur + 1):
+            entry = self.read_manifest(v).get("changes")
+            if entry:
+                ref_chg.update(entry)
+                if v > new_floor:
+                    live_chg.update(entry)
+        for _k, fl in head.get("change_compactions", {}).items():
+            live_chg.update(fl)  # compactions survive the floor by design
+            ref_chg.update(fl)
+        for p in self.io.walk_files(_join(self.root, "changes"), ".parquet"):
+            if p not in live_chg and _reclaimable(p, ref_chg):
+                self.io.delete(p)
+                removed.append(p)
         return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:

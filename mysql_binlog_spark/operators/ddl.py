@@ -259,15 +259,16 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
 
     - TRUNCATE/DROP at seq S: events of the repo below S are erased
       (a cheap filter — state at the barrier is discarded);
-    - RENAME a->b at seq S: a's *live state at S* moves to b. The
-      affected pre-S events are collapsed FIRST and delete-winners
-      dropped, because renaming a table moves its current contents, not
-      its tombstone history — a key of ``a`` already dead at S must NOT
-      kill ``b``'s own live key under the later LWW collapse (the lake
-      path cannot see that tombstone either: dead keys are physically
-      absent from state). The moved winner keeps its seq, so it competes
-      with b's own events under the engine-wide last-writer-wins rule,
-      exactly like ``apply_repo_ddl``'s max_by collision resolve.
+    - RENAME a->b at seq S: a's *live state at S* moves to b. BOTH
+      repos' pre-S events are collapsed at the barrier and
+      delete-winners dropped, because the rename acts on current table
+      contents, not tombstone history — a key of ``a`` already dead at
+      S must not kill ``b``'s own live key, and symmetrically ``b``'s
+      own pre-S tombstone must not out-rank a moved row with a lower
+      seq (the lake path sees neither: dead keys are physically absent
+      from state). Surviving rows keep their seq, so collisions resolve
+      under the engine-wide last-writer-wins rule, exactly like
+      ``apply_repo_ddl``'s max_by collision resolve.
 
     Each rename adds one extra bounded collapse (shuffle) of the renamed
     repo's events — DDL is metadata-scale, so the plan stays shallow; a
@@ -291,23 +292,34 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
                 ~((F.col("repo") == op.repo) & (F.col("seq") < op.seq))
             )
         elif op.action == "rename":
-            pre = (F.col("repo") == op.repo) & (F.col("seq") < op.seq)
-            moved = (
+            # BOTH sides collapse to live state at the barrier: the lake
+            # path resolves the collision against the target's *state*
+            # (tombstones physically absent), so a target key already
+            # dead at S must not let its raw pre-S delete event outrank
+            # a moved row with a lower seq in the final collapse — the
+            # symmetric case of the dead-source rule above.
+            pre = F.col("repo").isin(op.repo, op.new_repo) & (
+                F.col("seq") < op.seq
+            )
+            barrier_state = (
                 collapse_latest(cur.filter(pre))
                 .filter(F.col("op") != "D")
                 .select(
                     "seq",
-                    # no same-(seq,sub) rival is possible on the target
-                    # key (events at one seq target the source repo only)
+                    # no same-(seq,sub) rival is possible on a collapsed
+                    # key: seqs are unique per event, and one event's two
+                    # expanded halves target different keys
                     F.lit(0).alias("sub"),
-                    F.lit(op.new_repo).alias("repo"),
+                    F.when(F.col("repo") == op.repo, F.lit(op.new_repo))
+                    .otherwise(F.col("repo"))
+                    .alias("repo"),
                     "path",
                     "op",
                     *PAYLOAD_COLS,
                     null_s.alias("before_content"),
                 )
             )
-            cur = cur.filter(~pre).unionByName(moved)
+            cur = cur.filter(~pre).unionByName(barrier_state)
     kept = collapse_latest(cur).filter(F.col("op") != "D")
     return kept.select(
         "repo",

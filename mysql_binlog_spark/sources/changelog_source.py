@@ -46,9 +46,17 @@ def read_changelog_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
     """Streaming read (the `backup` tail analog): bounded per-trigger file
-    intake = the reference's bounded channels (T7 backpressure)."""
+    intake = the reference's bounded channels (T7 backpressure).
+
+    ``_src_file`` carries the originating file path (from the file
+    source's ``_metadata``, which does not survive into foreachBatch
+    unless projected here) — the ingest fence uses it to detect
+    out-of-order landing per file."""
+    from pyspark.sql import functions as F
+
     return (
         spark.readStream.schema(EVENT_DDL)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
+        .withColumn("_src_file", F.col("_metadata").getField("file_path"))
     )

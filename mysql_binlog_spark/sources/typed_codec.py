@@ -202,7 +202,10 @@ def _unpack_batch(
     # ENUM: dictionary id -> name (stream-carried dictionary)
     cat_null = (nulls >> _NULL_BITS["category"]) & 1
     cat_ids = head["cat"].astype(np.int64)
-    if ((cat_ids > len(enum_dict)) & (cat_null == 0)).any():
+    # 1-based ids: 0 on a non-null record is corrupt (enum_dict[-1]
+    # would silently decode the LAST entry; the Arrow path validates the
+    # same bound so corrupt input fails identically in both decoders)
+    if (((cat_ids > len(enum_dict)) | (cat_ids < 1)) & (cat_null == 0)).any():
         raise ValueError("ENUM id outside the stream dictionary")
     cols["category"] = pd.Series(
         [None if cat_null[i] else enum_dict[cat_ids[i] - 1] for i in range(n)],
@@ -449,14 +452,6 @@ def _dur_utf8(us: np.ndarray, null_mask: np.ndarray):
     )
 
 
-def _flags_set_lut(set_dict: tuple[str, ...]) -> list[str]:
-    k = len(set_dict)
-    return [
-        ",".join(nm for j, nm in enumerate(set_dict) if (v >> j) & 1)
-        for v in range(1 << k)
-    ]
-
-
 def _decode_arrow_batch(batch, enum_dict, set_dict):
     """One Arrow RecordBatch of packed records -> one decoded RecordBatch.
     Every column is built from numpy/Arrow buffers; the only Python-level
@@ -519,19 +514,31 @@ def _decode_arrow_batch(batch, enum_dict, set_dict):
     # ENUM: ids -> dictionary array -> utf8
     cat_mask = mask("category")
     cat_ids = head["cat"].astype(np.int64)
-    if ((cat_ids > len(enum_dict)) & ~cat_mask).any():
+    # valid ids are 1..len (MySQL ENUM ids are 1-based): id 0 on a
+    # non-null record is corrupt input and must fail LOUDLY — silently
+    # clamping would decode to an arbitrary dictionary entry (and the
+    # pandas path's enum_dict[id-1] would pick a DIFFERENT wrong one)
+    if (((cat_ids > len(enum_dict)) | (cat_ids < 1)) & ~cat_mask).any():
         raise ValueError("ENUM id outside the stream dictionary")
     cols["category"] = pa.DictionaryArray.from_arrays(
         pa.array(np.maximum(cat_ids - 1, 0).astype(np.int32), mask=cat_mask,
                  from_pandas=True),
         pa.array(list(enum_dict), pa.utf8()),
     ).cast(pa.utf8())
-    # SET: low-bit LUT -> dictionary array -> utf8
-    lut = _flags_set_lut(set_dict)
-    fs_idx = (head["flags_bits"] & ((1 << len(set_dict)) - 1)).astype(np.int32)
+    # SET: render only the bit patterns PRESENT in this batch (a 2^k LUT
+    # would explode for legitimate MySQL SETs of up to 64 members)
+    codes = head["flags_bits"].astype(np.int64)
+    if len(set_dict) < 64:
+        codes = codes & ((np.int64(1) << len(set_dict)) - 1)
+    uniq = np.unique(codes)
+    lut = [
+        ",".join(nm for j, nm in enumerate(set_dict) if (v >> j) & 1)
+        for v in uniq.tolist()
+    ]
+    fs_idx = np.searchsorted(uniq, codes).astype(np.int32)
     cols["flags_set"] = pa.DictionaryArray.from_arrays(
         pa.array(fs_idx, mask=mask("flags_bits"), from_pandas=True),
-        pa.array(lut, pa.utf8()),
+        pa.array(lut, pa.utf8()) if lut else pa.array([""], pa.utf8()),
     ).cast(pa.utf8())
     # var fields: straight buffer gathers
     starts = rec_starts[:, None] + _FMT.size + np.concatenate(

@@ -28,7 +28,9 @@ collapse + fenced-merge path as the batch engine.
   lose nothing — the reference's position-row resume semantics
   (common/db/mysql.go:198-226: restart reads the position, not a batch
   counter). Requires the source's seq order across files (guaranteed by
-  the changelog landing protocol, like binlog file ordering).
+  the changelog landing protocol, like binlog file ordering); a late
+  file straddling the committed watermark is DETECTED and fails the
+  stream loudly rather than silently dropping its never-applied rows.
 """
 
 from __future__ import annotations
@@ -67,10 +69,35 @@ def stream_ingest(
         # the committed watermark are new; a fully replayed batch (crash
         # replay OR lost-checkpoint re-read) filters to empty and commits
         # nothing. batch_id is ignored on purpose.
+        #
+        # Landing-order guard: in-order landing makes every committed
+        # watermark a whole-file boundary (epochs apply whole batches of
+        # whole files), so a file whose seq range STRADDLES the watermark
+        # can only mean out-of-order landing — its below-watermark rows
+        # were never applied and the fence would silently drop them.
+        # Fail loudly instead. (A late file wholly below the watermark is
+        # indistinguishable from a legitimate replay by seq metadata
+        # alone — ruling it out is exactly what the landing protocol's
+        # in-order guarantee is for.) The per-file agg doubles as the
+        # emptiness probe, so this costs no extra pass over the batch.
         hwm = table.high_watermark(source=source)
+        stats = (
+            batch_df.groupBy(F.col("_src_file").alias("f"))
+            .agg(F.min("seq").alias("lo"), F.max("seq").alias("hi"))
+            .collect()
+        )
+        straddlers = [r["f"] for r in stats if r["lo"] <= hwm < r["hi"]]
+        if straddlers:
+            raise RuntimeError(
+                f"out-of-order changelog landing detected: file(s) "
+                f"{straddlers} contain seqs at or below the committed "
+                f"watermark {hwm} alongside new rows — their old rows were "
+                f"never applied. The landing protocol must add files in "
+                f"seq order."
+            )
+        if all(r["hi"] <= hwm for r in stats):
+            return  # pure replay (crash or checkpoint wipe): nothing new
         fresh = batch_df.filter(F.col("seq") > hwm)
-        if fresh.limit(1).isEmpty():
-            return
         batch = collapse_latest(expand_renames(fresh))
         table.merge(batch, epoch=table.next_epoch_id(source), source=source)
 

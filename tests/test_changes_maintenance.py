@@ -134,7 +134,10 @@ def test_vacuum_reclaims_orphaned_change_files(tracked):
     orphan = os.path.join(orphan_dir, "part-0.parquet")
     with open(orphan, "w") as f:
         f.write("junk")
-    removed = t.vacuum(keep_versions=100)
+    # default grace: a FRESH unreferenced file could be a concurrent
+    # writer's staged output — it must survive the sweep
+    assert orphan not in t.vacuum(keep_versions=100)
+    removed = t.vacuum(keep_versions=100, orphan_grace_sec=0.0)
     assert orphan in removed
     # referenced change files untouched -> diffs still incremental
     assert t._incremental_change_files(0, t.current_version()) is not None
@@ -145,3 +148,32 @@ def test_compact_changes_rejects_bad_range(tracked):
         tracked.compact_changes(3, 3)
     with pytest.raises(ValueError):
         tracked.compact_changes(0, 99)
+
+
+def test_vacuum_commits_floor_before_deleting(tracked, monkeypatch):
+    """Crash-safety ordering: the advanced changes_floor must be durably
+    committed BEFORE any retired change file is deleted, so a crash
+    mid-vacuum never leaves a committed manifest pointing at deleted
+    files — diff() below the floor falls back explicitly, and the
+    not-yet-deleted files are reclaimed by a later run."""
+    t = tracked
+    cur = t.current_version()
+
+    def crashing_delete(p):
+        raise RuntimeError("simulated crash mid-vacuum")
+
+    monkeypatch.setattr(t.io, "delete", crashing_delete)
+    with pytest.raises(RuntimeError):
+        t.vacuum(
+            keep_versions=100,
+            change_retention_versions=0,
+            orphan_grace_sec=1e9,
+        )
+    monkeypatch.undo()
+
+    head = t.read_manifest(t.current_version())
+    assert head.get("changes_floor", 0) == cur  # floor landed first
+    # diff below the floor uses the explicit snapshot-join fallback (no
+    # missing-file errors), and the retired files are still reclaimable
+    assert len(_diff_sorted(t, 0, cur)) > 0
+    assert t.vacuum(keep_versions=100, change_retention_versions=0) != []

@@ -111,6 +111,53 @@ def test_lease_lock_breaks_abandoned_lock(tmp_path):
     assert not os.path.exists(target + ".lock")
 
 
+def test_lease_lock_survives_crashed_breaker_marker(tmp_path):
+    """The break protocol is serialized through an O_EXCL `.lock.break`
+    marker (a bare stat-then-unlink would let two breakers delete each
+    other's freshly recreated locks). A BREAKER that crashed holding the
+    marker must not deadlock later acquirers: a stale marker is cleaned
+    and the stale lock still gets broken."""
+    import os, time
+
+    lock = LocalFileLock(lease_sec=0.2, poll_sec=0.01)
+    target = str(tmp_path / "m.json")
+    old = time.time() - 5
+    with open(target + ".lock", "w") as f:
+        f.write("dead-holder")
+    os.utime(target + ".lock", (old, old))
+    with open(target + ".lock.break", "w") as f:
+        f.write("")  # crashed breaker's marker
+    os.utime(target + ".lock.break", (old, old))
+    tok = lock.acquire(target)
+    lock.release(target, tok)
+    assert not os.path.exists(target + ".lock")
+    assert not os.path.exists(target + ".lock.break")
+
+
+def test_lease_lock_does_not_break_fresh_locks(tmp_path):
+    """A lock within its lease is never broken — the breaker path only
+    fires on stale mtimes."""
+    import os, threading, time
+
+    lock = LocalFileLock(lease_sec=5.0, poll_sec=0.01)
+    target = str(tmp_path / "m.json")
+    tok = lock.acquire(target)
+    got = []
+
+    def contend():
+        t2 = lock.acquire(target)
+        got.append(time.monotonic())
+        lock.release(target, t2)
+
+    th = threading.Thread(target=contend)
+    t0 = time.monotonic()
+    th.start()
+    time.sleep(0.3)
+    lock.release(target, tok)
+    th.join(10)
+    assert got and got[0] - t0 >= 0.3  # waited for the release, no break
+
+
 # ---------------------------------------------------------------------------
 # S3 conditional-put protocol (fake boto3-style client)
 # ---------------------------------------------------------------------------

@@ -121,3 +121,22 @@ def test_minhash_perms_are_distinct(spark, docs):
 
     sigs = minhash_signatures(docs, num_perm=16).toPandas()
     assert (sigs["sig"].map(lambda s: len(set(s))) > 8).all()
+
+
+def test_simhash_vote_lane_overflow_fails_loudly(spark):
+    """The radix-packed sketch's documented per-doc token bound is
+    ENFORCED: a doc beyond SIMHASH_MAX_TOKENS weighted tokens would
+    silently corrupt the vote lanes, so the job must fail instead."""
+    import pytest
+
+    from mysql_binlog_spark.dedup.simhash import (
+        SIMHASH_MAX_TOKENS,
+        simhash_halves,
+    )
+
+    big = " ".join(f"w{i % 97}" for i in range(SIMHASH_MAX_TOKENS + 10))
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with pytest.raises(Exception, match="vote-lane overflow"):
+        simhash_halves(df).collect()
+    ok = spark.createDataFrame([(1, "just a few tokens")], "doc_id long, text string")
+    assert simhash_halves(ok).count() == 1

@@ -121,7 +121,10 @@ def test_torn_commit_leaves_only_data_orphans(spark, tmp_path):
     t2 = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
     assert t2.current_version() == cur
     assert t2.read_state().count() == n_rows  # orphans invisible
-    removed = t2.vacuum(keep_versions=1)
+    # default grace: fresh unreferenced files look exactly like a
+    # concurrent writer's staged output and must survive the sweep
+    assert not any("epoch999-deadbeef" in r for r in t2.vacuum(keep_versions=1))
+    removed = t2.vacuum(keep_versions=1, orphan_grace_sec=0.0)
     assert any("epoch999-deadbeef" in r for r in removed)
     # fresh events still commit at the next version
     ev2 = generate_events_pandas(ChangelogSpec(n_events=1500, seed=15))

@@ -176,3 +176,52 @@ def test_stream_ingest_continuous_tail(spark, tmp_path):
     )
     want = oracle_snapshot_from_pandas(ev_pandas)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_ingest_detects_out_of_order_landing(spark, tmp_path):
+    """A late-landing file that STRADDLES the committed watermark can
+    only mean the landing protocol's in-order guarantee was violated —
+    its below-watermark rows were never applied, and the fence would
+    silently drop them. The stream must fail loudly instead."""
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=1200, seed=21, n_repos=4)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batches = list(iter_event_batches(spec, batch_size=400))
+
+    # land batches 0 and 2 (seqs 0-399 and 800-1199): the straddler
+    # (400-799 with rows both sides of hwm=1199? no — wholly below) —
+    # instead land 0 then a file mixing old+new seqs relative to hwm.
+    pq.write_table(
+        pa.Table.from_batches([batches[0]], schema=EVENT_SCHEMA),
+        str(events_dir / "part-0000.parquet"),
+    )
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    hwm = table.high_watermark()
+    assert hwm == 399
+
+    # now a file lands whose range straddles the watermark: seqs 300-599
+    tbl = pa.Table.from_batches(batches[:2], schema=EVENT_SCHEMA)
+    straddle = tbl.to_pandas()
+    straddle = straddle[(straddle.seq >= 300) & (straddle.seq < 600)]
+    pq.write_table(
+        pa.Table.from_pandas(straddle, schema=EVENT_SCHEMA, preserve_index=False),
+        str(events_dir / "part-0001.parquet"),
+    )
+    q2 = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="out-of-order"):
+        q2.awaitTermination(120)
+    # nothing from the bad batch was committed
+    assert table.high_watermark() == 399
