@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
         "(advances the changes floor; compacted ranges stay diffable)",
     )
 
+    rb = sub.add_parser(
+        "rebucket",
+        help="partition evolution: rewrite state into a new hash bucket "
+        "count (one committed version; fences/lineage/diff unaffected)",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--n-buckets", type=int, required=True, dest="n_buckets")
+
     cc = sub.add_parser(
         "compact-changes",
         help="rewrite a version range's per-epoch change files into one "
@@ -158,6 +166,17 @@ def main(argv: list[str] | None = None) -> int:
             change_retention_versions=args.change_retention,
         )
         print(json.dumps({"cmd": "vacuum", "files_removed": len(removed)}))
+
+    elif args.cmd == "rebucket":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        v = t.rebucket(args.n_buckets)
+        print(
+            json.dumps(
+                {"cmd": "rebucket", "version": v, "n_buckets": args.n_buckets}
+            )
+        )
 
     elif args.cmd == "compact-changes":
         from mysql_binlog_spark.lake.table import LakeTable

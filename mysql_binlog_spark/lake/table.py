@@ -470,6 +470,7 @@ class LakeTable:
         manifest = self.read_manifest()
         if self._epoch_applied(manifest, epoch, source):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
+        self._adopt_bucket_count(manifest)
 
         # persist: the batch feeds two actions (stats aggregation + the
         # bucket rewrite) — without this the whole upstream collapse runs
@@ -707,6 +708,7 @@ class LakeTable:
         manifest = self.read_manifest()
         if self._epoch_applied(manifest, epoch, source):
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
+        self._adopt_bucket_count(manifest)
 
         # Bucket pruning via the manifest's per-bucket repo blooms: a DDL
         # on a repo confined to few buckets reads only those buckets (a
@@ -1108,6 +1110,101 @@ class LakeTable:
 
         self._commit_maintenance(mutate)
         return len(out)
+
+    def _adopt_bucket_count(self, manifest: dict) -> None:
+        """Re-adopt ``n_buckets`` from the committed manifest at the start
+        of every write attempt: a writer that loses an optimistic race to
+        a ``rebucket`` must retry its epoch under the NEW layout, not
+        scatter keys across a stale bucket count."""
+        stored = manifest.get("n_buckets")
+        if stored is not None and int(stored) != self.n_buckets:
+            self.n_buckets = int(stored)
+
+    def rebucket(self, n_buckets_new: int) -> int:
+        """Partition evolution: rewrite the table's state into a new hash
+        bucket count as ONE committed version (the Iceberg
+        partition-spec-evolution analog, applied eagerly — our bucket id
+        is physical file layout, not a spec readers resolve lazily).
+
+        Why this exists at 100 TB: the bucket count fixes per-bucket file
+        size and the width of every COW merge; a count chosen at table
+        creation cannot serve 1000x growth (multi-GB buckets make each
+        epoch rewrite enormous) nor shrink back after a purge. The
+        rewrite costs one full copy-on-write pass (one shuffle on the
+        new bucket id + one column-pruned scan of the staged output for
+        the bloom statistics). Concurrent writers lose the optimistic
+        race and retry their epoch under the new layout — every write
+        path re-adopts ``n_buckets`` from the manifest per attempt
+        (``_adopt_bucket_count``).
+
+        Fences, lineage, schema and change tracking carry over
+        unchanged; the rebucket itself changes no logical row, so its
+        ``changes`` entry is empty and diff ranges spanning it stay
+        incremental. Old manifests keep their own bucket file lists, so
+        reading or diffing pre-rebucket versions is unaffected; their
+        files are reclaimed by ``vacuum`` once out of retention.
+        Returns the committed version.
+        """
+        if n_buckets_new < 1:
+            raise ValueError("n_buckets_new must be >= 1")
+
+        def attempt():
+            manifest = self.read_manifest()
+            if manifest["version"] == 0:
+                # empty table: the count is simply adopted at first merge
+                self.n_buckets = n_buckets_new
+                return
+            state = self.read_state()
+            stage = _join(
+                self.root,
+                "data",
+                f"rebucket{manifest['version'] + 1:06d}-{uuid.uuid4().hex[:8]}",
+            )
+            (
+                state.withColumn("bucket", bucket_expr(n_buckets_new))
+                .repartition(n_buckets_new, "bucket")
+                .write.partitionBy("bucket")
+                .option("compression", "zstd")
+                .mode("overwrite")
+                .parquet(stage)
+            )
+            # bloom stats from the staged output: column-pruned scan of
+            # (bucket, repo) only
+            stats = (
+                self.spark.read.parquet(stage)
+                .groupBy("bucket")
+                .agg(F.collect_set(_repo_bloom_pos_expr()).alias("bloom_pos"))
+                .collect()
+            )
+            new_files: dict[str, list[str]] = {}
+            blooms: dict[str, str] = {}
+            for r in stats:
+                b = int(r["bucket"])
+                bdir = _join(stage, f"bucket={b}")
+                fs = sorted(
+                    _join(bdir, f)
+                    for f in self.io.list_names(bdir)
+                    if f.endswith(".parquet")
+                )
+                if fs:
+                    new_files[str(b)] = fs
+                bits = 0
+                for pair in r["bloom_pos"]:
+                    for p in pair:
+                        bits |= 1 << int(p)
+                blooms[str(b)] = f"{bits:x}"
+            nxt = dict(manifest)
+            nxt["version"] = manifest["version"] + 1
+            nxt["checkpoints"] = []  # lineage delta: nothing applied
+            nxt["changes"] = [] if self.track_changes else None
+            nxt["buckets"] = new_files
+            nxt["repo_blooms"] = blooms
+            nxt["n_buckets"] = int(n_buckets_new)
+            self._commit(nxt)
+            self.n_buckets = int(n_buckets_new)
+
+        self._with_commit_retries(attempt)
+        return self.current_version()
 
     def vacuum(
         self,
