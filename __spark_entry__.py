@@ -615,7 +615,15 @@ def q_cdc_ddl_barrier(spark: SparkSession, sf_dir: str) -> DataFrame:
     backup/handler/merge.go:147-166)."""
     from mysql_binlog_spark.operators.ddl import snapshot_with_ddl
 
-    return snapshot_with_ddl(_ddl_changelog(spark, sf_dir))
+    # materialize the derived changelog to parquet first (the shape real
+    # input arrives in): the rename-barrier plan scans its input once per
+    # branch, and re-deriving the md5-heavy synthetic stream per branch
+    # would bill fixture derivation as engine time
+    path = os.path.join(tempfile.mkdtemp(prefix="cdc_ddl_"), "events.parquet")
+    _ddl_changelog(spark, sf_dir).repartitionByRange(8, "seq").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return snapshot_with_ddl(spark.read.parquet(path))
 
 
 def q_cdc_collapse_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,6 +671,24 @@ def q_cdc_epoch_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_recover_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full epoch pipeline (crash + resume + fenced merges) -> final state."""
     return table_snapshot(_resumed_table(spark, sf_dir))
+
+
+def q_cdc_rebucket_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution mid-ingest: crash after 2 epochs, REBUCKET the
+    table 16 -> 48 (full COW rewrite into the new hash layout), resume
+    the fenced ingest under the new layout — the final state must be
+    byte-identical to a plain replay (oracle shared with cdc_snapshot)."""
+    events_path = os.path.join(tempfile.mkdtemp(prefix="cdc_ev_"), "events.parquet")
+    _changelog_df(spark, sf_dir).repartitionByRange(8, "seq").write.mode(
+        "overwrite"
+    ).parquet(events_path)
+    table = LakeTable(
+        spark, tempfile.mkdtemp(prefix="cdc_lake_"), n_buckets=16, track_changes=True
+    )
+    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE, stop_after_epochs=2)
+    table.rebucket(48)
+    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE)
+    return table_snapshot(table)
 
 
 def q_cdc_epoch_checkpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hwm_by_repo": q_cdc_hwm_by_repo,
         "cdc_epoch_metrics": q_cdc_epoch_metrics,
         "cdc_recover_snapshot": q_cdc_recover_snapshot,
+        "cdc_rebucket_snapshot": q_cdc_rebucket_snapshot,
         "cdc_epoch_checkpoints": q_cdc_epoch_checkpoints,
         "cdc_streaming_ingest": q_cdc_streaming_ingest,
         "cdc_version_diff": q_cdc_version_diff,
@@ -1204,6 +1231,8 @@ SELECT CAST(FLOOR(seq / 1000.0) AS BIGINT) AS epoch,
 FROM normalized GROUP BY 1
 """,
         "cdc_recover_snapshot": _SNAPSHOT_SQL,
+        # rebucket changes no logical row: same oracle as the plain replay
+        "cdc_rebucket_snapshot": _SNAPSHOT_SQL,
         "cdc_epoch_checkpoints": _CDC_PREFIX.replace(
             "PARTITION BY repo, path",
             f"PARTITION BY CAST(FLOOR(seq / {_EPOCH_SIZE}.0) AS BIGINT), repo, path",
