@@ -55,6 +55,15 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--out", required=True)
     s.add_argument("--version", type=int, default=None)
 
+    lk = sub.add_parser(
+        "lookup", help="bucket-pruned point/prefix read of one key or repo"
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--repo", required=True)
+    lk.add_argument("--path", default=None)
+    lk.add_argument("--version", type=int, default=None)
+    lk.add_argument("--out", default=None, help="parquet output (default: print rows)")
+
     v = sub.add_parser("vacuum", help="reclaim unreferenced snapshot files")
     v.add_argument("--table", required=True)
     v.add_argument("--keep", type=int, default=1)
@@ -156,6 +165,20 @@ def main(argv: list[str] | None = None) -> int:
         t = LakeTable(spark, args.table)
         t.read_state(version=args.version).write.mode("overwrite").parquet(args.out)
         print(json.dumps({"cmd": "snapshot", "out": args.out, "version": args.version}))
+
+    elif args.cmd == "lookup":
+        from mysql_binlog_spark.lake.table import LakeTable
+
+        t = LakeTable(spark, args.table)
+        df = t.lookup(args.repo, args.path, version=args.version)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(json.dumps({"cmd": "lookup", "out": args.out}))
+        else:
+            rows = df.collect()
+            for r in rows:
+                print(json.dumps(r.asDict()))
+            print(json.dumps({"cmd": "lookup", "rows": len(rows)}))
 
     elif args.cmd == "vacuum":
         from mysql_binlog_spark.lake.table import LakeTable

@@ -367,6 +367,49 @@ class LakeTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*files)
 
+    def lookup(
+        self, repo: str, path: str | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Key-pruned point/prefix read — the key-ordered point-scan
+        analog (SURVEY §2.5 O1; the reference walks its sorted state by
+        key, backup/handler/merge.go key iteration).
+
+        - full key ``(repo, path)``: the bucket is computed driver-side
+          with the SAME Spark expression as ``bucket_expr`` (a 1-row
+          local job, metadata-rate), so exactly ONE bucket's files are
+          scanned regardless of table size;
+        - ``repo`` only: candidate buckets come from the manifest's
+          per-bucket repo blooms — a repo absent from the table reads
+          ZERO files.
+
+        Both shapes keep the key predicate in the plan, so parquet
+        row-group stats prune further within the bucket. At 100 TB a
+        point lookup touches one bucket's few files, not the table.
+        """
+        manifest = self.read_manifest(version)
+        n = int(manifest.get("n_buckets") or self.n_buckets)
+        if path is not None:
+            row = (
+                self.spark.range(1)
+                .select(
+                    F.pmod(
+                        F.xxhash64(F.lit(repo), F.lit(path)), F.lit(n)
+                    )
+                    .cast("int")
+                    .alias("b")
+                )
+                .collect()[0]
+            )
+            buckets = [int(row["b"])]
+        else:
+            buckets = self._buckets_maybe_containing(manifest, repo)
+        out = self.read_state(buckets=buckets, version=version).where(
+            F.col("repo") == repo
+        )
+        if path is not None:
+            out = out.where(F.col("path") == path)
+        return out
+
     def _checkpoint_rows(self) -> list[dict]:
         """All committed lineage rows: each manifest stores only ITS
         epoch's rows; readers walk the committed chain (cached — committed

@@ -305,3 +305,52 @@ def test_version_diff(spark, tmp_path):
     for r in d.itertuples():
         if r.diff_op != "D":
             assert r.new_content == new.loc[(r.repo, r.path), "content"]
+
+
+def test_lookup_point_and_prefix_pruning(spark, tmp_path):
+    """lookup(repo, path) scans exactly ONE bucket's files; lookup(repo)
+    scans only bloom-admitted buckets; an absent repo reads zero files.
+    Results match filtering the full snapshot."""
+    ev = generate_events_pandas(ChangelogSpec(n_events=6000, seed=33))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=16)
+    run_ingest(spark, p, t, epoch_size=3000)
+
+    snap = t.read_state().toPandas()
+    key = snap.sort_values(["repo", "path"]).iloc[0]
+    repo, path = key["repo"], key["path"]
+
+    # full-key point lookup: one bucket, correct row
+    d = t.lookup(repo, path)
+    files = d.inputFiles()
+    buckets_touched = {f.split("/data/")[1].split("/")[0] for f in files}
+    assert len(buckets_touched) == 1
+    got = d.toPandas()
+    assert len(got) == 1
+    assert got.iloc[0]["content"] == key["content"]
+
+    # repo prefix lookup: bloom-pruned strict subset of the table's files,
+    # but ALL of the repo's rows. A hot repo genuinely occupies every
+    # bucket (no pruning possible) — probe the coldest repo instead.
+    cold = snap["repo"].value_counts().idxmin()
+    dr = t.lookup(cold)
+    all_files = set(t.read_state().inputFiles())
+    assert set(dr.inputFiles()) < all_files
+    want = snap[snap["repo"] == cold].sort_values("path").reset_index(drop=True)
+    got_r = dr.toPandas().sort_values("path").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_r, want, check_dtype=False)
+
+    # never-seen repo: zero files, zero rows
+    dn = t.lookup("no/such-repo")
+    assert dn.inputFiles() == [] and dn.count() == 0
+
+    # deleted key: point lookup is empty (tombstones are physically absent)
+    deleted = None
+    live = set(zip(snap["repo"], snap["path"]))
+    for _, r in ev[ev["op"] == "D"].iterrows():
+        if (r["repo"], r["path"]) not in live:
+            deleted = (r["repo"], r["path"])
+            break
+    if deleted is not None:
+        assert t.lookup(*deleted).count() == 0
