@@ -995,6 +995,28 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, _query_vec(spark, sf_dir), cents, k=10, nprobe=3)
 
 
+def q_sim_ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized-IVF-layout path the round-2 audit asked to prefer
+    at scale: embeddings written PARTITIONED BY coarse-quantizer cell,
+    probe pruned to the nprobe cell directories — no per-query
+    re-evaluation of the assignment expression over a full scan. Same
+    centroids/probe parameters as `sim_ivf_topk`, so the oracle is
+    shared (the layout changes no result row)."""
+    from mysql_binlog_spark.similarity.ann import (
+        ivf_build_centroids,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+
+    e = _emb_double(spark, sf_dir)
+    cents = ivf_build_centroids(e, n_cells=8)
+    idx = os.path.join(tempfile.mkdtemp(prefix="ivf_idx_"), "idx")
+    write_ivf_index(e, idx, cents)
+    return ivf_topk_indexed(
+        spark, idx, _query_vec(spark, sf_dir), cents, k=10, nprobe=3
+    )
+
+
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return d.select(
@@ -1163,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_lsh_topk_indexed": q_sim_lsh_topk_indexed,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "sim_ivf_topk_indexed": q_sim_ivf_topk_indexed,
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         # --- multimodal plumbing (mapInPandas; stubbed codec) ---
@@ -1685,4 +1708,6 @@ LIMIT 10
 """
     # compacted cover must produce the identical net change set
     out["cdc_version_diff_compacted"] = out["cdc_version_diff"]
+    # the materialized IVF layout changes no result row: same oracle
+    out["sim_ivf_topk_indexed"] = out["sim_ivf_topk"]
     return out

@@ -166,6 +166,11 @@ def main() -> None:
         "matrix is the conservative one.",
         "",
     ]
+    if "--print-only" in sys.argv:
+        # BENCH.md is hand-curated beyond this template now; default
+        # overwrite is kept for fresh checkouts, --print-only for re-runs
+        print("\n".join(lines[:len(rows) + 9]))
+        return
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
     print("wrote BENCH.md")

@@ -64,6 +64,16 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> tuple[bool, str]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # a mistyped/unknown query name would silently select NOTHING and
+    # print a vacuous "ALL OK" — fail loudly instead
+    unknown = only - set(entrymod.queries())
+    if unknown:
+        raise SystemExit(
+            f"unknown query names: {sorted(unknown)} "
+            "(usage: check_contract.py [sf_dir] [query ...])"
+        )
+    if not os.path.isdir(sf_dir):
+        raise SystemExit(f"sf_dir {sf_dir!r} is not a directory")
     spark = get_spark("check_contract")
     con = duckdb.connect()
     for t in TABLES:
