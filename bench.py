@@ -73,9 +73,10 @@ def ensure_changelog(n_events: int, seed: int = 42) -> str:
     """Generate (once, cached) the deterministic bench changelog.
 
     Cache key carries a layout version: v2 added the _ddl side stream
-    (landing-protocol DDL extraction without a full-changelog pass)."""
+    (landing-protocol DDL extraction without a full-changelog pass); v3
+    stamps the side file with the landing state (completeness guard)."""
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_changelog_v2_{n_events}_{seed}"
+        tempfile.gettempdir(), f"spark_graft_changelog_v3_{n_events}_{seed}"
     )
     if not os.path.exists(path):
         tmp = path + ".tmp"

@@ -379,6 +379,8 @@ def write_events_parquet_dir(
     writer: pq.ParquetWriter | None = None
     in_file = 0
     ddl_batches = []
+    max_seq = -1
+    n_files = 0
     for batch in iter_event_batches(spec, batch_size=row_group_size):
         if writer is None:
             writer = pq.ParquetWriter(
@@ -386,12 +388,14 @@ def write_events_parquet_dir(
                 EVENT_SCHEMA,
                 compression="zstd",
             )
+            n_files += 1
         writer.write_batch(batch)
         q = batch.filter(pc.equal(batch.column("op"), "Q"))
         if q.num_rows:
             ddl_batches.append(q)
         n += batch.num_rows
         in_file += batch.num_rows
+        max_seq = max(max_seq, pc.max(batch.column("seq")).as_py())
         if in_file >= events_per_file:
             writer.close()
             writer = None
@@ -399,9 +403,19 @@ def write_events_parquet_dir(
             file_idx += 1
     if writer is not None:
         writer.close()
-    with pq.ParquetWriter(
-        os.path.join(out_dir, "_ddl.parquet"), EVENT_SCHEMA, compression="zstd"
-    ) as w:
-        for b in ddl_batches:
-            w.write_batch(b)
+    # Side-file completeness stamp: the landing state (part-file count +
+    # max landed seq) it was derived from. extract_ddl_ops_for_path
+    # cross-checks this against the directory and falls back to the full
+    # scan when files landed AFTER the side file was written — a stale
+    # side stream must degrade to the slow path, never drop a barrier.
+    side = (
+        pa.Table.from_batches(ddl_batches, schema=EVENT_SCHEMA)
+        if ddl_batches
+        else EVENT_SCHEMA.empty_table()
+    ).replace_schema_metadata(
+        {"n_event_files": str(n_files), "max_seq": str(max_seq)}
+    )
+    pq.write_table(
+        side, os.path.join(out_dir, "_ddl.parquet"), compression="zstd"
+    )
     return n

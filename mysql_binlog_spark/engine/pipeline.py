@@ -79,7 +79,11 @@ def plan_entries(max_seq: int, epoch_size: int, ddl_ops=()) -> list[tuple]:
     plan is a pure function of (max_seq, epoch_size, DDL set), all of
     which a resumed run recomputes identically from the same changelog.
     With no DDL the ids coincide with the seq-grid ids of
-    ``plan_epochs``.
+    ``plan_epochs``. A resumed run with a DIFFERENT ``max_seq`` shares
+    this plan as a prefix but its final merge range is cut at the old
+    bound — ``run_ingest`` guards that case with the committed seq
+    watermark (re-applying only the range's unapplied tail) rather than
+    trusting the id alone.
     """
     # Clip DDL beyond the ingest bound: a bounded run (max_seq below a
     # later DDL's seq) must stop at the bound, not spin waiting for row
@@ -149,20 +153,48 @@ def run_ingest(
     entries = plan_entries(max_seq, epoch_size, ddl_ops)
 
     applied = set(table.epochs_applied(source))
+    # The committed per-source seq watermark guards resume across
+    # DIFFERENTLY-BOUNDED runs: plan ids are ordinal, and a previous run
+    # with a smaller max_seq committed the same ordinal id over a SHORTER
+    # seq range (the bound truncates the final merge; DDL clipping shifts
+    # later cuts). An id-only fence would then silently skip the range's
+    # unapplied tail. Here a merge entry is skipped only if its range is
+    # fully under the watermark (or genuinely empty above it); otherwise
+    # the remainder re-applies under the same id with the id fence
+    # bypassed — LWW merge is idempotent for any overlap, and the
+    # advanced watermark makes the remainder skippable forever after.
+    seq_hwm = table.high_watermark(source)
     row_events = events.filter(F.col("op") != "Q")
 
     report = IngestReport(0, 0, 0, 0)
     for entry in entries:
-        if entry[1] in applied:
+        force = False
+        if entry[0] == "merge" and entry[1] in applied:
+            _kind, epoch_id, lo, hi = entry
+            if hi <= seq_hwm:
+                report.epochs_skipped += 1
+                continue
+            tail = row_events.filter(
+                (F.col("seq") > seq_hwm) & (F.col("seq") <= hi)
+            )
+            if tail.limit(1).count() == 0:
+                report.epochs_skipped += 1
+                continue
+            force = True
+        elif entry[1] in applied:
             report.epochs_skipped += 1
             continue
         if stop_after_epochs is not None and report.epochs_run >= stop_after_epochs:
             break
         if entry[0] == "merge":
             _kind, epoch_id, lo, hi = entry
+            if force:
+                lo = max(lo, seq_hwm)
             ev = row_events.filter((F.col("seq") > lo) & (F.col("seq") <= hi))
             batch = collapse_latest(expand_renames(ev))
-            res = table.merge(batch, epoch=epoch_id, source=source)
+            res = table.merge(batch, epoch=epoch_id, source=source, force=force)
+            if force and res.committed:
+                seq_hwm = max(seq_hwm, hi)
         else:
             _kind, epoch_id, op = entry
             if op.action in ("truncate", "drop", "rename"):

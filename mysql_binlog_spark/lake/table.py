@@ -192,7 +192,16 @@ class LakeTable:
         # committed with tracking on keeps writing change files no matter
         # how it is reopened (a CLI open with the default constructor must
         # not silently stop the change stream and break incremental diff).
-        self.track_changes = bool(committed.get("track_changes")) or track_changes
+        # Tables written before the sticky flag existed carry no
+        # 'track_changes' key but DO carry per-epoch 'changes' entries —
+        # detect those too, or a default reopen of a pre-upgrade tracked
+        # table silently stops its change stream (the exact failure the
+        # stickiness is for).
+        self.track_changes = (
+            bool(committed.get("track_changes"))
+            or committed.get("changes") is not None
+            or track_changes
+        )
         stored = committed.get("n_buckets")
         if stored is not None:
             if n_buckets is not None and n_buckets != stored:
@@ -293,7 +302,8 @@ class LakeTable:
     ) -> tuple[int, list[int]]:
         wm, extra_l = cls._fence_of(manifest, source)
         extra = set(extra_l)
-        extra.add(epoch)
+        if epoch > wm:  # a force-re-commit of an applied id must not pollute
+            extra.add(epoch)
         while wm + 1 in extra:
             wm += 1
             extra.discard(wm)
@@ -483,13 +493,25 @@ class LakeTable:
             "commit)"
         ) from last
 
-    def merge(self, batch: DataFrame, epoch: int, source: str = "") -> MergeResult:
-        """Idempotent, multi-writer-safe MERGE (see ``_merge_once``)."""
+    def merge(
+        self, batch: DataFrame, epoch: int, source: str = "", force: bool = False
+    ) -> MergeResult:
+        """Idempotent, multi-writer-safe MERGE (see ``_merge_once``).
+
+        ``force=True`` bypasses the epoch-id fence: for re-applying the
+        REMAINDER of an epoch id that an earlier, differently-bounded run
+        committed over a shorter seq range (engine.pipeline resume). Safe
+        because the LWW merge is idempotent — re-applying rows already in
+        state cannot regress it — and the seq watermark advanced by this
+        commit makes the remainder skippable forever after.
+        """
         return self._with_commit_retries(
-            lambda: self._merge_once(batch, epoch, source)
+            lambda: self._merge_once(batch, epoch, source, force=force)
         )
 
-    def _merge_once(self, batch: DataFrame, epoch: int, source: str = "") -> MergeResult:
+    def _merge_once(
+        self, batch: DataFrame, epoch: int, source: str = "", force: bool = False
+    ) -> MergeResult:
         """Idempotent MERGE INTO: apply a collapsed batch to the table.
 
         ``batch`` must have one row per key: KEY_COLS + ('seq', 'op',
@@ -511,7 +533,7 @@ class LakeTable:
         """
         t0 = time.monotonic()
         manifest = self.read_manifest()
-        if self._epoch_applied(manifest, epoch, source):
+        if self._epoch_applied(manifest, epoch, source) and not force:
             return MergeResult(epoch, False, 0, 0, 0, 0, 0)
         self._adopt_bucket_count(manifest)
 
@@ -635,6 +657,22 @@ class LakeTable:
             if fs:
                 new_files[str(b)] = sorted(fs)
             # a touched bucket can end up empty (all keys deleted) -> no files
+
+        # Staged-output validation (_assert_staged): a bucket whose batch
+        # upserted rows MUST have staged at least one state file — if the
+        # listing came up empty, something deleted the staged output
+        # between the write job and now (e.g. an over-aggressive external
+        # cleaner, or a vacuum whose orphan grace is shorter than this
+        # write took). Fail the commit loudly so the retry recomputes,
+        # instead of committing a manifest that silently lost the bucket.
+        for r in stats:
+            if int(r["rows_upserted"]) > 0 and str(int(r["bucket"])) not in new_files:
+                raise RuntimeError(
+                    f"staged state files for bucket {int(r['bucket'])} "
+                    f"vanished before commit (epoch {epoch}, {stage}) — "
+                    "was vacuum run with an orphan grace shorter than this "
+                    "write's duration?"
+                )
 
         # schema evolution: additive merge (new columns appended)
         new_schema = self._evolve_schema(manifest, new_state.drop("bucket").schema)
@@ -1253,7 +1291,7 @@ class LakeTable:
         self,
         keep_versions: int = 1,
         change_retention_versions: int | None = None,
-        orphan_grace_sec: float = 3600.0,
+        orphan_grace_sec: float = 259_200.0,
     ) -> list[str]:
         """Delete data files not referenced by the newest ``keep_versions``
         manifests — the analog of the reference's rolling tar consolidation
@@ -1275,8 +1313,14 @@ class LakeTable:
           and lost commit races) are deleted only when older than
           ``orphan_grace_sec`` — a concurrent writer's staged files look
           exactly like orphans until its commit lands, so fresh
-          unreferenced files must survive the sweep (Iceberg's
-          remove-orphan-files grace, default 1h here).
+          unreferenced files must survive the sweep. Default 3 days
+          (Iceberg's remove-orphan-files default): the grace must exceed
+          any plausible stage-to-commit latency, because an in-flight
+          write older than it would lose its staged files and then
+          commit a manifest pointing at nothing. Writers additionally
+          validate their staged files right before commit
+          (``_assert_staged``), shrinking that residual race from the
+          whole staging window to the validate-to-commit gap.
 
         With ``change_retention_versions=N``, per-epoch change files of
         versions <= current - N are retired and the floor advances (a
@@ -1307,14 +1351,38 @@ class LakeTable:
             head = self.read_manifest(cur)
 
         keep = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        # ONE manifest walk builds all four reference sets. The walk is
+        # bounded below by the committed ``vacuum_horizon``: versions a
+        # prior vacuum already swept can only reference (a) files also
+        # referenced by newer versions — picked up there — or (b) files
+        # that sweep deleted; a crash-survivor of (b) merely degrades
+        # from "expired, delete now" to "orphan, delete after grace",
+        # which is the safe direction. On a streamed table with tens of
+        # thousands of micro-batch versions this turns O(all versions)
+        # manifest GETs per vacuum into O(versions since last vacuum).
+        horizon = int(head.get("vacuum_horizon", 0))
+        # the walk must always cover the full keep window AND the full
+        # change-retention window, even when a previous vacuum with a
+        # narrower keep pushed the horizon above them
+        walk_from = min(horizon, max(0, cur - keep_versions), new_floor)
         live: set[str] = set()
         referenced: set[str] = set()
-        for v in range(1, cur + 1):
+        live_chg: set[str] = set()
+        ref_chg: set[str] = set()
+        for v in range(walk_from + 1, cur + 1):
             m = self.read_manifest(v)
             for files in m["buckets"].values():
                 referenced.update(files)
                 if v in keep:
                     live.update(files)
+            entry = m.get("changes")
+            if entry:
+                ref_chg.update(entry)
+                if v > new_floor:
+                    live_chg.update(entry)
+        for _k, fl in head.get("change_compactions", {}).items():
+            live_chg.update(fl)  # compactions survive the floor by design
+            ref_chg.update(fl)
 
         now = _time.time()
 
@@ -1323,7 +1391,11 @@ class LakeTable:
                 return True  # expired: a committed manifest owned it
             try:
                 return now - self.io.mtime(p) > orphan_grace_sec
-            except FileNotFoundError:
+            except Exception:  # noqa: BLE001
+                # concurrently deleted / transient store error: FS
+                # backends raise py4j or botocore errors here, not
+                # FileNotFoundError — skip the file this run rather than
+                # abort the sweep partway
                 return False
 
         removed: list[str] = []
@@ -1331,23 +1403,22 @@ class LakeTable:
             if p not in live and _reclaimable(p, referenced):
                 self.io.delete(p)
                 removed.append(p)
-
-        # ---- change-file retention (floor already committed above) ----
-        live_chg: set[str] = set()
-        ref_chg: set[str] = set()
-        for v in range(1, cur + 1):
-            entry = self.read_manifest(v).get("changes")
-            if entry:
-                ref_chg.update(entry)
-                if v > new_floor:
-                    live_chg.update(entry)
-        for _k, fl in head.get("change_compactions", {}).items():
-            live_chg.update(fl)  # compactions survive the floor by design
-            ref_chg.update(fl)
+        # changes/ deletions only run AFTER the floor committed above
         for p in self.io.walk_files(_join(self.root, "changes"), ".parquet"):
             if p not in live_chg and _reclaimable(p, ref_chg):
                 self.io.delete(p)
                 removed.append(p)
+
+        # Advance the walk horizon (an optimization hint — a crash before
+        # this commit only means the next vacuum re-reads more manifests).
+        # Only persisted once it would save a meaningful number of
+        # manifest reads: committing it every run would add one version
+        # of churn per vacuum on small tables for nothing.
+        new_horizon = max(horizon, cur - keep_versions)
+        if new_horizon - horizon >= 64:
+            self._commit_maintenance(
+                lambda nxt: nxt.update({"vacuum_horizon": new_horizon})
+            )
         return removed
 
     def _evolve_schema(self, manifest: dict, batch_schema: T.StructType) -> dict:
@@ -1429,9 +1500,10 @@ class LakeTable:
             # sticky: adopted at open like n_buckets (ADVICE: a default
             # reopen must not silently stop the change stream)
             "track_changes": self.track_changes,
-            # change-stream maintenance state carried across commits
+            # change-stream / vacuum maintenance state carried across commits
             "change_compactions": manifest.get("change_compactions", {}),
             "changes_floor": manifest.get("changes_floor", 0),
+            "vacuum_horizon": manifest.get("vacuum_horizon", 0),
             # this COMMIT's change files ([] = tracked-but-empty epoch,
             # None = tracking off -> incremental diff falls back)
             "changes": changes_entry if self.track_changes else None,

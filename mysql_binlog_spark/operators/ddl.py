@@ -189,21 +189,56 @@ def extract_ddl_ops_for_path(
     changelog file's footers each ingest cycle (the round-2 −11% ingest
     suspect). Read with pyarrow on the driver — the rows are driver-bound
     anyway (the plan is driver-side), and Spark's scanner would hide a
-    ``_``-prefixed file. Falls back to scanning ``events`` when absent —
-    results are identical, only the scan cost differs."""
+    ``_``-prefixed file. Falls back to scanning ``events`` when absent.
+
+    Completeness guard: the side file carries the landing state it was
+    derived from (part-file count + max landed seq, written by
+    ``write_events_parquet_dir``). If files landed AFTER the side file
+    was written — or the stamp is missing (pre-upgrade side file) — the
+    side file may be missing barriers, so this falls back to the full
+    ``events`` scan: a stale side stream must degrade to the slow path,
+    never silently drop a TRUNCATE/RENAME."""
     import os
 
     side = os.path.join(events_path, DDL_SIDE_NAME)
     if os.path.isdir(events_path) and os.path.exists(side):
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(side, columns=["seq", "statement"])
-        if tbl.num_rows > MAX_DDL_EVENTS:
-            raise ValueError(
-                f"more than {MAX_DDL_EVENTS} DDL events — stream is mis-tagged?"
-            )
-        rows = sorted(tbl.to_pylist(), key=lambda r: r["seq"])
-        return _parse_ddl_rows(rows, default_db)
+        meta = pq.read_schema(side).metadata or {}
+        fresh = False
+        if b"n_event_files" in meta and b"max_seq" in meta:
+            parts = [
+                f
+                for f in os.listdir(events_path)
+                if not f.startswith(("_", ".")) and f.endswith(".parquet")
+            ]
+            if len(parts) == int(meta[b"n_event_files"]):
+                # in-order landing puts the max seq in the lexically-last
+                # part file; one footer read confirms it
+                last = os.path.join(events_path, max(parts))
+                pf = pq.ParquetFile(last)
+                seq_idx = pf.schema_arrow.get_field_index("seq")
+                landed_max = max(
+                    pf.metadata.row_group(i).column(seq_idx).statistics.max
+                    for i in range(pf.metadata.num_row_groups)
+                )
+                fresh = landed_max <= int(meta[b"max_seq"])
+        if fresh:
+            tbl = pq.read_table(side, columns=["seq", "statement"])
+            if tbl.num_rows > MAX_DDL_EVENTS:
+                raise ValueError(
+                    f"more than {MAX_DDL_EVENTS} DDL events — stream is "
+                    "mis-tagged?"
+                )
+            rows = sorted(tbl.to_pylist(), key=lambda r: r["seq"])
+            return _parse_ddl_rows(rows, default_db)
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "DDL side file %s is stale or unstamped for the current "
+            "landing state — falling back to the full changelog scan",
+            side,
+        )
     return extract_ddl_ops(events, default_db)
 
 

@@ -51,6 +51,7 @@ def stream_ingest(
     max_files_per_trigger: int = 4,
     available_now: bool = True,
     source: str = "",
+    on_straddle: str = "error",
 ):
     """Stream changelog files into the lake table; returns the query.
 
@@ -61,7 +62,26 @@ def stream_ingest(
     key spaces can tail into ONE table concurrently, each fencing on its
     own watermark — the multi-master shape (reference: one backup process
     per instance, common/inter/offset.go:24-33).
+
+    ``on_straddle`` controls what happens when a file's seq range
+    straddles the committed watermark:
+
+    - ``"error"`` (default): fail the stream — under streaming-only
+      operation every committed watermark is a whole-file boundary, so a
+      straddler can only mean out-of-order landing, where silently
+      fencing out its below-watermark rows would lose never-applied data
+      (and blindly applying them could resurrect keys deleted by an
+      interleaved file).
+    - ``"reapply"``: re-apply the straddling file IN FULL. This is the
+      batch-to-stream HANDOFF mode: ``run_ingest`` cuts epochs at seq
+      positions, not file boundaries, so a table handed over mid-file has
+      a legitimately mid-file watermark. Safe under in-order landing:
+      all events inside the file's seq range live in that one file, so
+      its own collapse resolves every key's winner, and the LWW merge
+      makes re-applying the already-applied portion a no-op.
     """
+    if on_straddle not in ("error", "reapply"):
+        raise ValueError(f"on_straddle must be 'error' or 'reapply', got {on_straddle!r}")
     src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
 
     def apply_batch(batch_df, batch_id: int):
@@ -87,17 +107,26 @@ def stream_ingest(
             .collect()
         )
         straddlers = [r["f"] for r in stats if r["lo"] <= hwm < r["hi"]]
-        if straddlers:
+        if straddlers and on_straddle == "error":
             raise RuntimeError(
                 f"out-of-order changelog landing detected: file(s) "
                 f"{straddlers} contain seqs at or below the committed "
                 f"watermark {hwm} alongside new rows — their old rows were "
                 f"never applied. The landing protocol must add files in "
-                f"seq order."
+                f"seq order. (If this table was handed over from a batch "
+                f"run_ingest whose epoch cut falls mid-file, restart the "
+                f"stream with on_straddle='reapply'.)"
             )
         if all(r["hi"] <= hwm for r in stats):
             return  # pure replay (crash or checkpoint wipe): nothing new
-        fresh = batch_df.filter(F.col("seq") > hwm)
+        # 'reapply' handoff mode: straddling files go in whole — their own
+        # collapse picks each key's winner, the merge is idempotent for
+        # the already-applied part
+        fresh = batch_df.filter(
+            (F.col("seq") > hwm) | F.col("_src_file").isin(straddlers)
+            if straddlers
+            else (F.col("seq") > hwm)
+        )
         batch = collapse_latest(expand_renames(fresh))
         table.merge(batch, epoch=table.next_epoch_id(source), source=source)
 

@@ -292,3 +292,121 @@ def test_packed_codec_rejects_stale_format(spark):
         decode_packed_events(
             spark.createDataFrame(pd.DataFrame({"record": [rec[:-1]]}))
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# round-3 review: resuming with a WIDER bound must not skip the tail of an
+# epoch id a narrower earlier run committed over a shorter range (ordinal
+# plan ids + id-only fencing would); the seq-watermark guard re-applies
+# exactly the unapplied remainder
+# ---------------------------------------------------------------------------
+
+
+def test_rerun_with_wider_bound_applies_tail(spark, tmp_path):
+    ev = pd.DataFrame(
+        {
+            "repo": ["a"] * 9 + ["a"],
+            "path": [f"p{i}" for i in range(1, 10)] + ["p1"],
+            "seq": list(range(1, 10)) + [10],
+            "op": ["I"] * 9 + ["Q"],
+            "commit": [f"c{i}" for i in range(1, 10)] + [None],
+            "lang": [None] * 10,
+            "content": [f"x{i}" for i in range(1, 10)] + [None],
+            "before_content": [None] * 10,
+            "new_path": [None] * 10,
+            "statement": [None] * 9 + ["TRUNCATE TABLE zzz"],
+        }
+    )
+    path = str(tmp_path / "ev.parquet")
+    _write_events(ev, path)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+
+    # narrow run: epoch id 0 committed over (-1, 5]
+    run_ingest(spark, path, t, epoch_size=100, max_seq=5)
+    assert sorted(table_snapshot(t).toPandas()["path"]) == [
+        f"p{i}" for i in range(1, 6)
+    ]
+
+    # widened run: the re-planned epoch id 0 now covers (-1, 9]; the
+    # watermark guard must apply rows 6..9 instead of skipping the id
+    rep = run_ingest(spark, path, t, epoch_size=100)
+    snap = table_snapshot(t).toPandas()
+    assert sorted(snap["path"]) == [f"p{i}" for i in range(1, 10)]
+
+    # and a THIRD identical run is a fenced no-op (no version churn)
+    v = t.current_version()
+    run_ingest(spark, path, t, epoch_size=100)
+    assert t.current_version() == v
+
+
+def test_rerun_wider_bound_with_ddl_between(spark, tmp_path):
+    """Same scenario but the widened region contains a DDL: the remainder
+    merge, the barrier cut, and the DDL apply all land correctly."""
+    ev = pd.DataFrame(
+        {
+            "repo": ["a"] * 6,
+            "path": ["p1", "p2", "p3", "zz", "p4", "p5"],
+            "seq": [1, 2, 3, 4, 6, 7],
+            "op": ["I"] * 6,
+            "commit": [f"c{i}" for i in range(1, 7)],
+            "lang": [None] * 6,
+            "content": [f"x{i}" for i in range(1, 7)],
+            "before_content": [None] * 6,
+            "new_path": [None] * 6,
+            "statement": [None] * 6,
+        }
+    )
+    ddl = pd.DataFrame(
+        {
+            "repo": ["a"], "path": [""], "seq": [5], "op": ["Q"],
+            "commit": [None], "lang": [None], "content": [None],
+            "before_content": [None], "new_path": [None],
+            "statement": ["TRUNCATE TABLE a"],
+        }
+    )
+    full = pd.concat([ev, ddl]).sort_values("seq")
+    path = str(tmp_path / "ev.parquet")
+    _write_events(full, path)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+
+    # narrow run stops below the DDL (id 0 over (-1, 3])
+    run_ingest(spark, path, t, epoch_size=100, max_seq=3)
+    # widened full run: remainder (3, 4], then the TRUNCATE barrier at 5,
+    # then rows 6..7
+    run_ingest(spark, path, t, epoch_size=100)
+    snap = table_snapshot(t).toPandas()
+    # everything below the truncate is gone; only p4/p5 survive
+    assert sorted(snap["path"]) == ["p4", "p5"]
+
+
+def test_track_changes_sticky_for_pre_upgrade_manifests(spark, tmp_path):
+    """A table whose manifests predate the sticky 'track_changes' key (but
+    that recorded per-epoch 'changes' entries) must keep tracking on a
+    default reopen — detected via the changes entries themselves."""
+    import json
+    import os
+
+    ev = pd.DataFrame(
+        {
+            "repo": ["a", "a"], "path": ["p1", "p2"], "seq": [1, 2],
+            "op": ["I", "I"], "commit": ["c1", "c2"], "lang": [None, None],
+            "content": ["x", "y"], "before_content": [None, None],
+            "new_path": [None, None], "statement": [None, None],
+        }
+    )
+    path = str(tmp_path / "ev.parquet")
+    _write_events(ev, path)
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, n_buckets=4, track_changes=True)
+    run_ingest(spark, path, t, epoch_size=1)
+
+    # simulate pre-upgrade manifests: strip the sticky key everywhere
+    snaps = os.path.join(root, "_snapshots")
+    for f in sorted(os.listdir(snaps)):
+        p = os.path.join(snaps, f)
+        m = json.loads(open(p).read())
+        m.pop("track_changes", None)
+        open(p, "w").write(json.dumps(m))
+
+    t2 = LakeTable(spark, root)  # default reopen (the CLI's open)
+    assert t2.track_changes is True

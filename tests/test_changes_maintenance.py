@@ -177,3 +177,36 @@ def test_vacuum_commits_floor_before_deleting(tracked, monkeypatch):
     # missing-file errors), and the retired files are still reclaimable
     assert len(_diff_sorted(t, 0, cur)) > 0
     assert t.vacuum(keep_versions=100, change_retention_versions=0) != []
+
+
+def test_vacuum_horizon_bounds_manifest_walk(spark, tmp_path):
+    """On version-churny tables, vacuum persists a walk horizon once it
+    saves >=64 manifest reads; correctness of retained reads and later
+    wider-keep vacuums is unaffected."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mysql_binlog_spark.changelog import ChangelogSpec
+    from mysql_binlog_spark.changelog.generator import generate_events_pandas
+    from mysql_binlog_spark.engine.pipeline import run_ingest
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=1400, seed=21))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    run_ingest(spark, p, t, epoch_size=20)  # 70 epochs -> 70 versions
+    cur = t.current_version()
+    assert cur == 70
+
+    n_live = t.read_state().count()
+    t.vacuum(keep_versions=1)
+    head = t.read_manifest()
+    assert int(head.get("vacuum_horizon", 0)) == cur - 1  # persisted (>=64)
+    assert t.read_state().count() == n_live  # head unaffected
+
+    # a second vacuum neither commits again (delta < 64) nor deletes
+    # anything still referenced by the head
+    v = t.current_version()
+    t.vacuum(keep_versions=1)
+    assert t.current_version() == v
+    assert t.read_state().count() == n_live

@@ -225,3 +225,59 @@ def test_stream_ingest_detects_out_of_order_landing(spark, tmp_path):
         q2.awaitTermination(120)
     # nothing from the bad batch was committed
     assert table.high_watermark() == 399
+
+
+def test_stream_handoff_from_batch_mid_file(spark, tmp_path):
+    """Batch run_ingest cuts epochs at seq positions, not file boundaries:
+    a table handed to the stream mid-file has a legitimately straddling
+    file. Default mode fails loudly with a handoff hint; on_straddle=
+    'reapply' re-applies the file in full and converges to the oracle."""
+    import pytest
+
+    from mysql_binlog_spark.engine.pipeline import run_ingest
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=2000, seed=9, n_repos=6)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    all_batches = []
+    for i, b in enumerate(iter_event_batches(spec, batch_size=500)):
+        pq.write_table(
+            pa.Table.from_batches([b], schema=EVENT_SCHEMA),
+            str(events_dir / f"part-{i:04d}.parquet"),
+        )
+        all_batches.append(b)
+    ev_pandas = pa.Table.from_batches(all_batches, schema=EVENT_SCHEMA).to_pandas()
+
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=8)
+    # batch phase: watermark lands at seq 749 — inside part-0001 (500..999)
+    run_ingest(spark, str(events_dir), table, epoch_size=750, stop_after_epochs=1)
+    assert table.high_watermark() == 749
+
+    # default mode: the straddling file fails the stream loudly
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt_err"), available_now=True,
+    )
+    with pytest.raises(Exception, match="on_straddle"):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    # handoff mode: re-applies part-0001 in full, then streams the rest
+    q2 = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt_ok"), available_now=True,
+        on_straddle="reapply",
+    )
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    got = (
+        table_snapshot(table)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev_pandas)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
