@@ -84,6 +84,8 @@ def run_bench(cpus: int, n_events: int, mode: str, epochs: int = 2) -> dict:
         SPARK_GRAFT_BENCH_EVENTS=str(n_events),
         SPARK_GRAFT_BENCH_EPOCHS=str(epochs),
         SPARK_GRAFT_BENCH_MODE=mode,
+        # this script does its own best-of-3 across invocations
+        SPARK_GRAFT_BENCH_INGEST_REPS="1",
         # partition count tracks data size, identical in both configs
         SPARK_GRAFT_SHUFFLE_PARTITIONS="64",
     )
