@@ -354,3 +354,35 @@ def test_lookup_point_and_prefix_pruning(spark, tmp_path):
             break
     if deleted is not None:
         assert t.lookup(*deleted).count() == 0
+
+
+def test_merge_detects_vanished_staged_output(spark, tmp_path):
+    """If a bucket's staged state files disappear between the write job
+    and the commit's staging listing (an external cleaner, or a vacuum
+    whose orphan grace undershot the write duration), the commit must
+    fail loudly instead of committing a manifest that silently lost the
+    bucket."""
+    import pytest
+
+    from mysql_binlog_spark.changelog import ChangelogSpec
+    from mysql_binlog_spark.changelog.generator import generate_events_pandas
+    from mysql_binlog_spark.engine.pipeline import run_ingest
+
+    ev = generate_events_pandas(ChangelogSpec(n_events=1000, seed=44))
+    p = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), p)
+    t = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+
+    real_list = t.io.list_names
+
+    def eaten(dirpath):
+        if "/data/epoch" in dirpath and "bucket=" in dirpath:
+            return []
+        return real_list(dirpath)
+
+    t.io.list_names = eaten
+    try:
+        with pytest.raises(Exception, match="vanished before commit"):
+            run_ingest(spark, p, t, epoch_size=1000)
+    finally:
+        t.io.list_names = real_list
