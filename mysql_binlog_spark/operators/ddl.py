@@ -321,6 +321,15 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
     null_s = F.lit(None).cast("string")
     # normalized working stream: every row targets exactly one key
     cur = expand_renames(events.filter(F.col("op") != "Q"))
+    # Plan-size guard: every rename barrier embeds `cur` TWICE (the
+    # surviving branch and the barrier collapse's input), so the logical
+    # plan DOUBLES per rename — ~30 renames would OOM Catalyst before a
+    # single task runs (found by the hypothesis fuzz: seed=88, n=1403,
+    # p_ddl=0.02). Cut the lineage with a checkpoint every few barriers:
+    # DDL is metadata-rate, so the extra materialization jobs are rare
+    # and bounded by the working set — the sequential lake path
+    # materializes state at EVERY barrier.
+    renames_since_cut = 0
     for op in sorted(ops, key=lambda o: o.seq):
         if op.action in ("truncate", "drop"):
             cur = cur.filter(
@@ -355,6 +364,10 @@ def snapshot_with_ddl(events: DataFrame, default_db: str = "main") -> DataFrame:
                 )
             )
             cur = cur.filter(~pre).unionByName(barrier_state)
+            renames_since_cut += 1
+            if renames_since_cut >= 4:
+                cur = cur.localCheckpoint(eager=True)
+                renames_since_cut = 0
     kept = collapse_latest(cur).filter(F.col("op") != "D")
     return kept.select(
         "repo",

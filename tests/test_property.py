@@ -270,3 +270,28 @@ def test_ddl_paths_agree_on_rename_collisions(
     # (src_repo may legitimately still exist: events AFTER the rename's
     # seq keep writing to it — only the pre-DDL keys moved)
     assert len(single_pass) > 0
+
+
+def test_ddl_snapshot_many_renames_plan_bounded(spark):
+    """Pinned falsifying example (seed=88, n=1403, p_ddl=0.02): ~28 DDL
+    events including many renames. Each rename barrier embeds the working
+    stream twice, so without lineage cuts the logical plan doubles per
+    rename and Catalyst OOMs at plan-build time before any task runs.
+    The checkpoint-every-4-barriers guard must keep this executable and
+    correct."""
+    from mysql_binlog_spark.operators.ddl import snapshot_with_ddl
+
+    spec = ChangelogSpec(
+        n_events=1403, seed=88, n_repos=8, p_delete=0.15, p_rename=0.05,
+        p_update=0.3, p_insert=0.45, p_ddl=0.02,
+    )
+    ev = generate_events_pandas(spec)
+    assert (ev["op"] == "Q").sum() >= 15  # the stressing shape is real
+    got = (
+        snapshot_with_ddl(spark.createDataFrame(ev))
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
