@@ -919,6 +919,35 @@ def q_cdc_binlog_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_binlog_file_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/C1 byte-format analog: frame the collapsed snapshot as REAL
+    binlog-v4 FILES (magic, FDE, BEGIN/TableMap/<=8KB rows chunks/XID,
+    rotate trailer, CRC32 footers — reference common/log/bin.go:28-207,
+    backup/binlog/repl.go:706-992), then PARSE the files back. The output
+    carries each row's chunk index, so the oracle independently
+    reconstructs the 8KB chunking rule (octet_length + window cumsum) —
+    a hash mismatch anywhere means the framing itself drifted."""
+    from mysql_binlog_spark.sinks.binlog_file import (
+        read_binlog_files,
+        write_binlog_files,
+    )
+
+    snap = snapshot_from_events(_changelog_df(spark, sf_dir)).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="cdc_blf_"), "binlogs")
+    write_binlog_files(snap, out).collect()  # executors write the files
+    parsed = read_binlog_files(spark, out)
+    return parsed.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        "chunk_idx",
+    )
+
+
 def q_cdc_decode_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 analog: vectorized Arrow decode of PACKED binary change records
     (mapInPandas batch decode), then the standard collapse. Returns the
@@ -1159,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rollup_cascade": q_cdc_rollup_cascade,
         "cdc_multi_source_hwm": q_cdc_multi_source_hwm,
         "cdc_binlog_export": q_cdc_binlog_export,
+        "cdc_binlog_file_export": q_cdc_binlog_file_export,
         "cdc_decode_packed": q_cdc_decode_packed,
         "cdc_decode_typed": q_cdc_decode_typed,
         "cdc_ddl_barrier": q_cdc_ddl_barrier,
@@ -1355,6 +1385,33 @@ SELECT repo, path,
        'BINLOG ''' || regexp_replace(to_base64(encode(content)),
                                      '(.{76})', '\\1\n', 'g') || ''';' AS stmt
 FROM ranked WHERE rn = 1 AND op <> 'D'
+""",
+        # binlog FILE export: the oracle reconstructs the writer's 8KB
+        # chunking rule itself — row bytes = 1 (null bitmap) + 4 + 4 (blob
+        # length prefixes) + key (repo\0path) + value (commit \0
+        # lang-marker \0 content); chunk = floor(bytes-before-row / 8192)
+        # within the repo's path-ordered transaction
+        "cdc_binlog_file_export": _CDC_PREFIX
+        + """,
+snap AS (
+  SELECT repo, path, "commit", lang, content
+  FROM ranked WHERE rn = 1 AND op <> 'D'
+),
+sized AS (
+  SELECT *,
+         9 + octet_length(encode(repo)) + 1 + octet_length(encode(path))
+           + octet_length(encode("commit")) + 1
+           + CASE WHEN lang IS NULL THEN 1
+                  ELSE 1 + octet_length(encode(lang)) END
+           + 1 + octet_length(encode(content)) AS row_bytes
+  FROM snap
+)
+SELECT repo, path, "commit", lang, sha256(content) AS content_sha256,
+       CAST(FLOOR(COALESCE(sum(row_bytes) OVER (
+           PARTITION BY repo ORDER BY path
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         / 8192.0) AS BIGINT) AS chunk_idx
+FROM sized
 """,
         "cdc_decode_packed": _SNAPSHOT_SQL,
         "cdc_decode_typed": """

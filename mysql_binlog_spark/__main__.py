@@ -72,6 +72,13 @@ def main(argv: list[str] | None = None) -> int:
         help="retire per-epoch change files older than N versions "
         "(advances the changes floor; compacted ranges stay diffable)",
     )
+    v.add_argument(
+        "--expire-manifests", action="store_true", dest="expire_manifests",
+        help="also expire manifest JSONs below the retention window / last "
+        "checkpoint rollup (bounds metadata growth on streamed tables; "
+        "time travel below the window then fails like Iceberg "
+        "expire_snapshots)",
+    )
 
     rb = sub.add_parser(
         "rebucket",
@@ -187,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
         removed = t.vacuum(
             keep_versions=args.keep,
             change_retention_versions=args.change_retention,
+            expire_manifests=args.expire_manifests,
         )
         print(json.dumps({"cmd": "vacuum", "files_removed": len(removed)}))
 

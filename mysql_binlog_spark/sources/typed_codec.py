@@ -407,6 +407,19 @@ def _utf8_from_slices(
         vals = np.empty(0, dtype=np.uint8)
     validity = pa.py_buffer(np.packbits(~null_mask, bitorder="little"))
     if typ in (pa.utf8(), pa.binary()):
+        # utf8/binary carry int32 offsets: a batch whose var bytes for one
+        # column exceed 2^31-1 would WRAP on the astype and yield corrupt
+        # decoded data with no error (ADVICE round 3). Each record's
+        # fields are u32-bounded on the wire, but a batch of ~10k rows of
+        # ~250KB payloads crosses 2GiB legitimately — fail loudly with
+        # the knob that fixes it (smaller Arrow batches).
+        if total > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"decoded var-field bytes ({total}) exceed the int32 "
+                "offset range of Arrow utf8/binary — lower "
+                "spark.sql.execution.arrow.maxRecordsPerBatch so each "
+                "batch stays under 2GiB per column"
+            )
         offsets32 = out_off.astype(np.int32)
         return pa.Array.from_buffers(
             typ, len(lens),

@@ -30,7 +30,11 @@ collapse + fenced-merge path as the batch engine.
   counter). Requires the source's seq order across files (guaranteed by
   the changelog landing protocol, like binlog file ordering); a late
   file straddling the committed watermark is DETECTED and fails the
-  stream loudly rather than silently dropping its never-applied rows.
+  stream loudly rather than silently dropping its never-applied rows,
+  and a late file WHOLLY below the watermark is audited against the
+  manifest's bounded applied-file window (LakeTable.file_applied_state):
+  applied -> replay, never-applied -> loud failure, older than the
+  window -> logged as unauditable.
 """
 
 from __future__ import annotations
@@ -117,18 +121,69 @@ def stream_ingest(
                 f"run_ingest whose epoch cut falls mid-file, restart the "
                 f"stream with on_straddle='reapply'.)"
             )
-        if all(r["hi"] <= hwm for r in stats):
+        # A file WHOLLY below the watermark is either a replay (applied
+        # before — crash replay or checkpoint wipe) or a late file that
+        # was never applied. Seq metadata alone cannot tell them apart;
+        # the manifest's applied-file window can, within its coverage
+        # (ADVICE round 3: the never-applied case is data loss and must
+        # fail loudly, not be silently fenced out).
+        import logging
+
+        log = logging.getLogger(__name__)
+        below = {
+            r["f"]: table.file_applied_state(r["f"], int(r["hi"]), source)
+            for r in stats
+            if r["hi"] <= hwm
+        }
+        never_applied = [f for f, st in below.items() if st == "unseen"]
+        if never_applied:
+            # No state-level recovery exists for this case: the late
+            # file's events interleave (by seq) with ALREADY-APPLIED later
+            # events, and deletes are physical — re-applying the file
+            # would resurrect keys whose tombstones (higher seq, applied
+            # long ago) are no longer in state. Detection is the fix the
+            # fence can offer; recovery is a bounded re-replay (recover /
+            # run_ingest over the full changelog), whose epoch collapse
+            # sees both the late events and the tombstones.
+            raise RuntimeError(
+                f"late changelog file(s) {never_applied} lie wholly below "
+                f"the committed watermark {hwm} but are NOT in the table's "
+                f"applied-file window — they were never applied, and the "
+                f"seq fence would silently drop their rows (re-applying "
+                f"them against current state could resurrect keys deleted "
+                f"by later, already-applied events). The landing protocol "
+                f"must add files in seq order; recover the table with a "
+                f"full replay (engine.pipeline.recover) if the file is "
+                f"genuine late data."
+            )
+        for f, st in below.items():
+            if st == "below_window":
+                log.warning(
+                    "file %s is wholly below the watermark and older than "
+                    "the applied-file audit window — treated as a replay "
+                    "(raise LakeTable.APPLIED_FILES_WINDOW above the "
+                    "landing protocol's worst-case reordering to audit "
+                    "deeper)", f,
+                )
+        reapply = set(straddlers)
+        if not reapply and all(r["hi"] <= hwm for r in stats):
             return  # pure replay (crash or checkpoint wipe): nothing new
-        # 'reapply' handoff mode: straddling files go in whole — their own
-        # collapse picks each key's winner, the merge is idempotent for
-        # the already-applied part
+        # 'reapply' handoff mode: straddling / recovered files go in whole
+        # — their own collapse picks each key's winner, the merge is
+        # idempotent for the already-applied part
         fresh = batch_df.filter(
-            (F.col("seq") > hwm) | F.col("_src_file").isin(straddlers)
-            if straddlers
+            (F.col("seq") > hwm) | F.col("_src_file").isin(sorted(reapply))
+            if reapply
             else (F.col("seq") > hwm)
         )
         batch = collapse_latest(expand_renames(fresh))
-        table.merge(batch, epoch=table.next_epoch_id(source), source=source)
+        applied = {
+            r["f"]: int(r["hi"]) for r in stats if r["hi"] > hwm or r["f"] in reapply
+        }
+        table.merge(
+            batch, epoch=table.next_epoch_id(source), source=source,
+            applied_files=applied,
+        )
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

@@ -403,9 +403,57 @@ def test_track_changes_sticky_for_pre_upgrade_manifests(spark, tmp_path):
     # simulate pre-upgrade manifests: strip the sticky key everywhere
     snaps = os.path.join(root, "_snapshots")
     for f in sorted(os.listdir(snaps)):
+        if not (f.startswith("v") and f.endswith(".json")):
+            continue  # skip version-hint.text / ckpt rollup sidecars
         p = os.path.join(snaps, f)
         m = json.loads(open(p).read())
         m.pop("track_changes", None)
+        open(p, "w").write(json.dumps(m))
+
+    t2 = LakeTable(spark, root)  # default reopen (the CLI's open)
+    assert t2.track_changes is True
+
+
+def test_track_changes_sticky_when_pre_upgrade_head_is_empty_epoch(spark, tmp_path):
+    """ADVICE round 3: pre-upgrade code wrote changes=None (not []) for
+    EMPTY tracked epochs — a pre-upgrade tracked table whose newest
+    commit was such an epoch looked untracked at the head and a default
+    reopen silently stopped its change stream. The open now walks back
+    the chain before concluding tracking is off."""
+    import json
+    import os
+
+    ev = pd.DataFrame(
+        {
+            "repo": ["a", "a"], "path": ["p1", "p2"], "seq": [1, 2],
+            "op": ["I", "I"], "commit": ["c1", "c2"], "lang": [None, None],
+            "content": ["x", "y"], "before_content": [None, None],
+            "new_path": [None, None], "statement": [None, None],
+        }
+    )
+    path = str(tmp_path / "ev.parquet")
+    _write_events(ev, path)
+    root = str(tmp_path / "lake")
+    t = LakeTable(spark, root, n_buckets=4, track_changes=True)
+    run_ingest(spark, path, t, epoch_size=1)
+    # one more EMPTY epoch on top
+    t.merge(
+        spark.createDataFrame([], "repo string, path string, seq long, op string"),
+        epoch=99,
+    )
+
+    # simulate pre-upgrade manifests: strip the sticky key everywhere AND
+    # null the head's changes entry (old empty-epoch behavior)
+    snaps = os.path.join(root, "_snapshots")
+    files = sorted(
+        f for f in os.listdir(snaps) if f.startswith("v") and f.endswith(".json")
+    )
+    for i, f in enumerate(files):
+        p = os.path.join(snaps, f)
+        m = json.loads(open(p).read())
+        m.pop("track_changes", None)
+        if i == len(files) - 1:
+            m["changes"] = None
         open(p, "w").write(json.dumps(m))
 
     t2 = LakeTable(spark, root)  # default reopen (the CLI's open)

@@ -281,3 +281,88 @@ def test_stream_handoff_from_batch_mid_file(spark, tmp_path):
     )
     want = oracle_snapshot_from_pandas(ev_pandas)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_detects_never_applied_late_file(spark, tmp_path):
+    """A late file WHOLLY below the committed watermark is a replay if it
+    is in the applied-file window, and silent data loss if it is not
+    (ADVICE round 3). The stream must fail loudly on the latter — and
+    recover it under on_straddle='reapply'."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=1200, seed=33, n_repos=4)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batches = list(iter_event_batches(spec, batch_size=400))
+
+    # land files 0 and 2 (seqs 0-399, 800-1199); file 1 (400-799) is LATE
+    pq.write_table(
+        pa.Table.from_batches([batches[0]], schema=EVENT_SCHEMA),
+        str(events_dir / "part-0000.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_batches([batches[2]], schema=EVENT_SCHEMA),
+        str(events_dir / "part-0002.parquet"),
+    )
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert table.high_watermark() == 1199
+    assert len(table.applied_file_window()) == 2
+
+    # a pure replay (checkpoint wipe) of the SAME files passes the audit
+    q_replay = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt_wiped"), available_now=True,
+    )
+    q_replay.awaitTermination(120)
+    assert q_replay.exception() is None
+    v_before = table.current_version()
+
+    # the late never-applied file lands: wholly below hwm, NOT in the
+    # window -> loud failure in strict mode
+    pq.write_table(
+        pa.Table.from_batches([batches[1]], schema=EVENT_SCHEMA),
+        str(events_dir / "part-0001.parquet"),
+    )
+    q_bad = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt2"), available_now=True,
+    )
+    with pytest.raises(StreamingQueryException, match="never applied|applied-file"):
+        q_bad.awaitTermination(120)
+    assert table.current_version() == v_before  # nothing committed
+
+    # reapply mode must ALSO refuse: re-applying the late file against
+    # current state would resurrect keys deleted by later already-applied
+    # events (their tombstones are physically gone)
+    q_bad2 = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt3"), available_now=True,
+        on_straddle="reapply",
+    )
+    with pytest.raises(StreamingQueryException, match="never applied|applied-file"):
+        q_bad2.awaitTermination(120)
+    assert table.current_version() == v_before
+
+    # the documented recovery — a full replay, whose epoch collapse sees
+    # the late events AND the tombstones together — matches the oracle
+    from mysql_binlog_spark.engine.pipeline import recover
+
+    fresh = LakeTable(spark, str(tmp_path / "lake2"), n_buckets=4)
+    recover(spark, str(events_dir), fresh, epoch_size=500)
+    ev_pandas = pa.Table.from_batches(batches, schema=EVENT_SCHEMA).to_pandas()
+    got = (
+        table_snapshot(fresh)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev_pandas)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
