@@ -677,17 +677,23 @@ def q_cdc_rebucket_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition evolution mid-ingest: crash after 2 epochs, REBUCKET the
     table 16 -> 48 (full COW rewrite into the new hash layout), resume
     the fenced ingest under the new layout — the final state must be
-    byte-identical to a plain replay (oracle shared with cdc_snapshot)."""
+    byte-identical to a plain replay (oracle shared with cdc_snapshot).
+
+    Epoch size scales with the data (6 epochs) — unlike the lineage
+    fixtures, this query's oracle has no epoch-grid dependence, and a
+    fixed tiny epoch would turn the sf0.1 run into hundreds of commits
+    of fixture overhead instead of a rebucket measurement."""
     events_path = os.path.join(tempfile.mkdtemp(prefix="cdc_ev_"), "events.parquet")
-    _changelog_df(spark, sf_dir).repartitionByRange(8, "seq").write.mode(
-        "overwrite"
-    ).parquet(events_path)
+    ch = _changelog_df(spark, sf_dir)
+    ch.repartitionByRange(8, "seq").write.mode("overwrite").parquet(events_path)
+    max_seq = spark.read.parquet(events_path).agg(F.max("seq")).collect()[0][0]
+    epoch_size = max(_EPOCH_SIZE, int(max_seq or 0) // 6 + 1)
     table = LakeTable(
         spark, tempfile.mkdtemp(prefix="cdc_lake_"), n_buckets=16, track_changes=True
     )
-    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE, stop_after_epochs=2)
+    run_ingest(spark, events_path, table, epoch_size=epoch_size, stop_after_epochs=2)
     table.rebucket(48)
-    run_ingest(spark, events_path, table, epoch_size=_EPOCH_SIZE)
+    run_ingest(spark, events_path, table, epoch_size=epoch_size)
     return table_snapshot(table)
 
 

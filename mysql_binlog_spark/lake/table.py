@@ -144,14 +144,15 @@ def _repo_bloom_pos_expr(repo: Column | None = None):
 
 
 def _repo_bloom_positions(spark: SparkSession, repo: str) -> tuple[int, int]:
-    """Driver-side probe: the SAME Spark expression on one literal row
-    (a millisecond local job; DDL is metadata-rate)."""
-    row = (
-        spark.range(1)
-        .select(_repo_bloom_pos_expr(F.lit(repo)).alias("p"))
-        .collect()[0]["p"]
+    """Driver-side probe — pure-python xxhash64 pinned bit-identical to
+    the JVM expression by a property test (functions.xxhash; the round-3
+    1-row Spark job cost a ~100ms scheduling round-trip per probe)."""
+    from mysql_binlog_spark.functions.xxhash import pmod, spark_xxhash64
+
+    return (
+        pmod(spark_xxhash64(repo), BLOOM_BITS),
+        pmod(spark_xxhash64(repo, _BLOOM_SALT), BLOOM_BITS),
     )
-    return int(row[0]), int(row[1])
 
 
 def _join(*parts: str) -> str:
@@ -478,10 +479,11 @@ class LakeTable:
         analog (SURVEY §2.5 O1; the reference walks its sorted state by
         key, backup/handler/merge.go key iteration).
 
-        - full key ``(repo, path)``: the bucket is computed driver-side
-          with the SAME Spark expression as ``bucket_expr`` (a 1-row
-          local job, metadata-rate), so exactly ONE bucket's files are
-          scanned regardless of table size;
+        - full key ``(repo, path)``: the bucket is computed DRIVER-SIDE
+          in pure python (functions.xxhash — bit-identical to the JVM's
+          xxhash64 by property test), so a point lookup costs zero Spark
+          jobs to plan and exactly ONE bucket's files to scan, no matter
+          the table size or how hot the lookup loop is;
         - ``repo`` only: candidate buckets come from the manifest's
           per-bucket repo blooms — a repo absent from the table reads
           ZERO files.
@@ -493,18 +495,9 @@ class LakeTable:
         manifest = self.read_manifest(version)
         n = int(manifest.get("n_buckets") or self.n_buckets)
         if path is not None:
-            row = (
-                self.spark.range(1)
-                .select(
-                    F.pmod(
-                        F.xxhash64(F.lit(repo), F.lit(path)), F.lit(n)
-                    )
-                    .cast("int")
-                    .alias("b")
-                )
-                .collect()[0]
-            )
-            buckets = [int(row["b"])]
+            from mysql_binlog_spark.functions.xxhash import pmod, spark_xxhash64
+
+            buckets = [pmod(spark_xxhash64(repo, path), n)]
         else:
             buckets = self._buckets_maybe_containing(manifest, repo)
         out = self.read_state(buckets=buckets, version=version).where(
@@ -606,8 +599,30 @@ class LakeTable:
     def checkpoints(self) -> DataFrame:
         """Per-(epoch, bucket) lineage + metrics rows from committed
         snapshots only (uncommitted work is invisible, like status !=
-        'success' rows in the reference's position table)."""
-        return self.spark.createDataFrame(self._checkpoint_rows(), CHECKPOINT_SCHEMA)
+        'success' rows in the reference's position table).
+
+        The folded prefix is read as a PARQUET SCAN of the rollup sidecar
+        (distributed; on a years-old stream that is millions of rows the
+        driver never materializes) unioned with the recent per-manifest
+        deltas (bounded by CKPT_FOLD_INTERVAL, driver-held)."""
+        m = self.read_manifest()
+        cur = int(m.get("version", 0) or 0)
+        base = int(m.get("ckpt_base", 0) or 0)
+        delta: list[dict] = []
+        for v in range(base + 1, cur + 1):
+            mm = m if v == cur else self.read_manifest(v)
+            for r in mm.get("checkpoints", []):
+                r.setdefault("source", "")
+                delta.append(r)
+        out = self.spark.createDataFrame(delta, CHECKPOINT_SCHEMA)
+        if base:
+            bm = m if base == cur else self.read_manifest(base)
+            rf = bm.get("ckpt_rollup_file")
+            if rf:
+                out = self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(
+                    rf
+                ).unionByName(out)
+        return out
 
     def high_watermark(self, source: str | None = None) -> int:
         """Max seq applied across committed epochs (-1 if empty).
