@@ -1105,6 +1105,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_group_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-GROUP resolution: minhash candidate pairs -> distributed
+    connected components (iterative min-label propagation, one shuffle
+    join per round, localCheckpoint-bounded plans) -> per-document group
+    id, group size and canonical flag. The step between pair lists and
+    an actual deletion list: transitive near-dups (A~B, B~C, A!~C) must
+    land in ONE group with ONE survivor. The oracle recomputes the
+    transitive closure independently with a recursive CTE."""
+    from mysql_binlog_spark.dedup.components import duplicate_groups
+
+    pairs = minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), num_perm=16, bands=4, threshold=0.5
+    )
+    return duplicate_groups(pairs)
+
+
 def _emb_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     return e.select(
@@ -1216,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_group_assignment": q_dedup_group_assignment,
         # --- similarity search ---
         "sim_bruteforce_topk": q_sim_bruteforce_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
@@ -1604,6 +1621,45 @@ SELECT id_a, id_b, est_jaccard FROM (
          ({band_or}) AS band_match
   FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 ) t WHERE band_match AND est_jaccard >= 0.5
+""",
+        # group resolution: the pair SQL is the minhash oracle verbatim;
+        # the closure is an INDEPENDENT recursive CTE (fixed point via
+        # UNION-distinct), so both the pair set and the transitive
+        # grouping are cross-checked
+        "dedup_group_assignment": f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+xs AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS x FROM ex
+),
+mh AS (
+  SELECT doc_id, p, min((a * x + b) % 4294967291) AS h
+  FROM xs, {_minhash_perm_values(16)}
+  GROUP BY doc_id, p
+),
+sigs AS (SELECT doc_id, list(h ORDER BY p) AS sig FROM mh GROUP BY doc_id),
+pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round({eq16} / 16.0, 4) AS est_jaccard,
+           ({band_or}) AS band_match
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  ) t WHERE band_match AND est_jaccard >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT u AS node, u AS r FROM edges
+  UNION
+  SELECT e.u AS node, reach.r FROM edges e JOIN reach ON e.v = reach.node
+),
+assign AS (SELECT node, min(r) AS g FROM reach GROUP BY node)
+SELECT node AS doc_id, g AS group_id,
+       count(*) OVER (PARTITION BY g) AS group_size,
+       node = g AS is_canonical
+FROM assign
 """,
         "sim_bruteforce_topk": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_group_assignment",
     "cdc_rebucket_snapshot",
     "cdc_binlog_file_export",
     "sim_bruteforce_topk",

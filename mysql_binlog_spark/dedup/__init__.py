@@ -7,3 +7,7 @@ from mysql_binlog_spark.dedup.minhash import (  # noqa: F401
 from mysql_binlog_spark.dedup.simhash import simhash64, simhash_near_dup_pairs  # noqa: F401
 from mysql_binlog_spark.dedup.jaccard import ngram_jaccard_pairs  # noqa: F401
 from mysql_binlog_spark.dedup.embedding import embedding_near_dup_pairs  # noqa: F401
+from mysql_binlog_spark.dedup.components import (  # noqa: F401
+    connected_components,
+    duplicate_groups,
+)

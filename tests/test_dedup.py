@@ -140,3 +140,43 @@ def test_simhash_vote_lane_overflow_fails_loudly(spark):
         simhash_halves(df).collect()
     ok = spark.createDataFrame([(1, "just a few tokens")], "doc_id long, text string")
     assert simhash_halves(ok).count() == 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Transitive chains collapse into ONE group (the case pair-level
+    survivorship double-keeps); separate components stay separate; the
+    canonical id is the component minimum."""
+    from mysql_binlog_spark.dedup.components import (
+        connected_components,
+        duplicate_groups,
+    )
+
+    # chain 1-2-3-4-5 (no shortcut edges), island {10,11}, island {20,21,22}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r["node"]: r["group_id"] for r in connected_components(pairs).collect()}
+    assert {cc[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert cc[10] == cc[11] == 10
+    assert cc[20] == cc[21] == cc[22] == 20
+    g = duplicate_groups(pairs).toPandas()
+    assert dict(zip(g.doc_id, g.group_size))[3] == 5
+    assert set(g[g.is_canonical].doc_id) == {1, 10, 20}
+    # keep-canonical survivorship: exactly one survivor per group
+    assert g.is_canonical.sum() == 3
+
+
+def test_connected_components_diameter_bound_fails_loudly(spark):
+    import pytest
+
+    from mysql_binlog_spark.dedup.components import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=2)
+    # and with enough rounds the same chain resolves
+    cc = connected_components(chain, max_iters=20).collect()
+    assert {r["group_id"] for r in cc} == {0}
