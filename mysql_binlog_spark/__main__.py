@@ -4,7 +4,8 @@
     python -m mysql_binlog_spark recover  --events E --table DIR [--epoch-size N]
     python -m mysql_binlog_spark backup   --events-dir E --table DIR --checkpoint C [--continuous]
     python -m mysql_binlog_spark snapshot --table DIR --out DIR [--version V]
-    python -m mysql_binlog_spark vacuum   --table DIR [--keep N]
+    python -m mysql_binlog_spark vacuum   --table DIR [--keep N] [--expire-manifests]
+    python -m mysql_binlog_spark binlog-export --table DIR --out DIR
 
 reference: backup/main.go:198-222 (tail+compact), merge/main.go:274-298
 (bounded range -> one output), recover/main.go:66-145 (replay to target).
@@ -104,6 +105,16 @@ def main(argv: list[str] | None = None) -> int:
     df.add_argument("--from-version", type=int, required=True, dest="from_version")
     df.add_argument("--to-version", type=int, default=None, dest="to_version")
     df.add_argument("--out", required=True)
+
+    be = sub.add_parser(
+        "binlog-export",
+        help="export table state (or a past version) as real binlog-v4 "
+        "files — magic/FDE/BEGIN/TableMap/8KB rows chunks/XID/rotate with "
+        "CRC32 footers, one file per repo, written by the executors",
+    )
+    be.add_argument("--table", required=True)
+    be.add_argument("--out", required=True)
+    be.add_argument("--version", type=int, default=None)
 
     args = p.parse_args(argv)
 
@@ -231,6 +242,31 @@ def main(argv: list[str] | None = None) -> int:
         print(
             json.dumps(
                 {"cmd": "diff", "from": args.from_version, "to": v_to, "out": args.out}
+            )
+        )
+
+    elif args.cmd == "binlog-export":
+        from pyspark.sql import functions as F
+
+        from mysql_binlog_spark.lake.table import LakeTable
+        from mysql_binlog_spark.sinks.binlog_file import write_binlog_files
+
+        t = LakeTable(spark, args.table)
+        state = t.read_state(version=args.version)
+        for c in ("commit", "lang", "content"):
+            if c not in state.columns:
+                state = state.withColumn(c, F.lit(None).cast("string"))
+        manifest = write_binlog_files(
+            state.select("repo", "path", "commit", "lang", "content"), args.out
+        ).collect()
+        print(
+            json.dumps(
+                {
+                    "cmd": "binlog-export",
+                    "out": args.out,
+                    "files": len(manifest),
+                    "rows": sum(r["n_rows"] for r in manifest),
+                }
             )
         )
 
