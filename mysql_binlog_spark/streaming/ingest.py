@@ -56,8 +56,23 @@ def stream_ingest(
     available_now: bool = True,
     source: str = "",
     on_straddle: str = "error",
+    maintain_every: int | None = None,
+    maintain_keep_versions: int = 64,
+    maintain_change_retention: int | None = None,
 ):
     """Stream changelog files into the lake table; returns the query.
+
+    ``maintain_every=N`` runs table maintenance every N committed
+    micro-batches INSIDE the stream: ``vacuum(keep_versions=
+    maintain_keep_versions, expire_manifests=True)``. A continuous tail
+    commits one version per batch forever; without in-stream maintenance
+    the metadata chain and retired data files only shrink when an
+    operator remembers to vacuum — this makes the bounded-metadata
+    behavior the DEPLOYED default rather than a manual chore. Maintenance
+    is itself a fenced maintenance commit + deletes of expired files;
+    a crash mid-maintenance is recovered by the next cycle (vacuum's
+    floor-first ordering), and the vacuum runs between batches so it
+    never races this stream's own staged writes.
 
     ``available_now=True`` drains everything currently in the directory and
     stops (bounded run — the `merge` binary analog); False keeps tailing
@@ -86,7 +101,10 @@ def stream_ingest(
     """
     if on_straddle not in ("error", "reapply"):
         raise ValueError(f"on_straddle must be 'error' or 'reapply', got {on_straddle!r}")
+    if maintain_every is not None and maintain_every < 1:
+        raise ValueError("maintain_every must be >= 1")
     src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
+    commits_since_maintain = [0]
 
     def apply_batch(batch_df, batch_id: int):
         # content-derived fence (see module docstring): only rows beyond
@@ -184,6 +202,19 @@ def stream_ingest(
             batch, epoch=table.next_epoch_id(source), source=source,
             applied_files=applied,
         )
+        if maintain_every is not None:
+            commits_since_maintain[0] += 1
+            if commits_since_maintain[0] >= maintain_every:
+                commits_since_maintain[0] = 0
+                # change-tracked tables keep manifests above the changes
+                # floor by design; pass maintain_change_retention to also
+                # retire old change files (diff below the floor then
+                # falls back to the snapshot join, explicitly)
+                table.vacuum(
+                    keep_versions=maintain_keep_versions,
+                    change_retention_versions=maintain_change_retention,
+                    expire_manifests=True,
+                )
 
     writer = (
         src.writeStream.foreachBatch(apply_batch)

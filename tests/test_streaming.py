@@ -366,3 +366,57 @@ def test_stream_detects_never_applied_late_file(spark, tmp_path):
     )
     want = oracle_snapshot_from_pandas(ev_pandas)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_stream_in_flight_maintenance_bounds_metadata(spark, tmp_path):
+    """maintain_every runs vacuum(expire_manifests=True) inside the
+    stream: a long-running tail keeps a BOUNDED manifest chain without
+    operator action, and the final state still matches the oracle."""
+    from mysql_binlog_spark.streaming import stream_ingest
+
+    spec = ChangelogSpec(n_events=3000, seed=17, n_repos=6)
+    events_dir = tmp_path / "events"
+    events_dir.mkdir()
+    batches = list(iter_event_batches(spec, batch_size=100))  # 30 files
+    import time as _time
+
+    t0 = _time.time() - 3600
+    for i, b in enumerate(batches):
+        p = str(events_dir / f"part-{i:04d}.parquet")
+        pq.write_table(pa.Table.from_batches([b], schema=EVENT_SCHEMA), p)
+        # the landing protocol's in-order contract: with one file per
+        # micro-batch the source's mtime pickup order IS the apply order,
+        # and rapid same-mtime writes would tie-break arbitrarily — the
+        # applied-file audit then (correctly!) fails the run. Stamp
+        # ascending mtimes like a real in-order landing.
+        os.utime(p, (t0 + i, t0 + i))
+    table = LakeTable(spark, str(tmp_path / "lake"), n_buckets=4)
+    table.CKPT_FOLD_INTERVAL = 4  # fold often so expiry can engage
+    q = stream_ingest(
+        spark, str(events_dir), table,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, available_now=True,
+        maintain_every=5, maintain_keep_versions=4,
+    )
+    # one commit per file + in-stream vacuums: generous bound — under a
+    # fully loaded suite the 30 micro-batches can exceed shorter timeouts
+    terminated = q.awaitTermination(900)
+    assert terminated, "stream did not drain within the bound"
+    assert q.exception() is None
+
+    snaps = os.path.join(str(tmp_path / "lake"), "_snapshots")
+    n_manifests = sum(1 for f in os.listdir(snaps) if f.endswith(".json"))
+    versions = table.current_version()
+    assert versions >= 30  # ~one commit per file + maintenance commits
+    assert n_manifests < versions  # old manifests actually expired
+    assert n_manifests <= 16  # bounded: keep window + fold interval + slack
+
+    ev_pandas = pa.Table.from_batches(batches, schema=EVENT_SCHEMA).to_pandas()
+    got = (
+        table_snapshot(table)
+        .toPandas()[SNAP_COLS]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = oracle_snapshot_from_pandas(ev_pandas)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
