@@ -205,11 +205,7 @@ class LakeTable:
         # manifest floor) before concluding tracking is off.
         self.track_changes = bool(committed.get("track_changes")) or track_changes
         if not self.track_changes and "track_changes" not in committed:
-            floor = int(committed.get("manifest_floor", 0) or 0)
-            for v in range(int(committed.get("version", 0) or 0), floor, -1):
-                if self.read_manifest(v).get("changes") is not None:
-                    self.track_changes = True
-                    break
+            self.track_changes = self._detect_legacy_tracking(committed)
         stored = committed.get("n_buckets")
         if stored is not None:
             if n_buckets is not None and n_buckets != stored:
@@ -223,6 +219,64 @@ class LakeTable:
             self.n_buckets = n_buckets if n_buckets is not None else 64
 
     # ---------------- snapshot / manifest plumbing ----------------
+
+    #: manifest-walk bound for legacy track_changes detection — one fold
+    #: interval's worth of history, well beyond any plausible run of
+    #: consecutive EMPTY tracked epochs at the head of a legacy table
+    _TRACK_SCAN_BOUND = 256
+
+    def _track_hint_path(self) -> str:
+        return _join(self.root, "_snapshots", "track-hint.text")
+
+    def _detect_legacy_tracking(self, committed: dict) -> bool:
+        """Pre-upgrade tables (no 'track_changes' manifest key) signal
+        tracking only through per-epoch 'changes' entries, and old code
+        wrote changes=None for EMPTY tracked epochs — so the head alone is
+        not conclusive and round 3 walked the WHOLE chain. That walk is
+        O(all versions) on every open of a genuinely-untracked legacy
+        streamed table (~20k manifests/day; round-4 ADVICE). Now: the
+        walk is bounded to the last _TRACK_SCAN_BOUND versions, and the
+        resolution is persisted in an advisory sidecar (like the version
+        hint) so every later open is O(1). Any NEW commit persists the
+        flag into the manifest itself, ending the legacy state for good."""
+        head = int(committed.get("version", 0) or 0)
+        if head == 0:
+            return False
+        floor = int(committed.get("manifest_floor", 0) or 0)
+        scanned_to = floor  # versions <= scanned_to are known changes-free
+        try:
+            flag, v = self.io.read_text(self._track_hint_path()).strip().split("@")
+            if flag == "1":
+                return True
+            scanned_to = max(scanned_to, int(v))
+        except Exception:  # noqa: BLE001 - missing/corrupt hint: full logic
+            pass
+        lo = max(scanned_to, head - self._TRACK_SCAN_BOUND)
+        found = False
+        for v in range(head, lo, -1):
+            if self.read_manifest(v).get("changes") is not None:
+                found = True
+                break
+        if not found and lo > scanned_to:
+            logging.getLogger(__name__).warning(
+                "table %s predates the sticky track_changes flag and its "
+                "last %d manifests carry no change entries — treating it "
+                "as untracked without walking the remaining %d versions. "
+                "If this table IS change-tracked (an implausibly long run "
+                "of empty epochs at the head), reopen it once with "
+                "track_changes=True; any commit then persists the flag.",
+                self.root, head - lo, lo - scanned_to,
+            )
+        else:
+            # resolution is conclusive (found, or the walk covered down to
+            # the known-clean boundary) — persist it, advisory-only
+            try:
+                self.io.write_text(
+                    self._track_hint_path(), f"{int(found)}@{head}"
+                )
+            except Exception:  # noqa: BLE001 - advisory only
+                pass
+        return found
 
     def current_version(self) -> int:
         """Highest committed manifest version (0 = empty table).
@@ -1184,7 +1238,7 @@ class LakeTable:
 
     # ---------------- diff (incremental changelog scan) ----------------
 
-    def diff(self, v_old: int, v_new: int) -> DataFrame:
+    def diff(self, v_old: int, v_new: int, keep_lineage: bool = False) -> DataFrame:
         """Net change set between two committed snapshots — the Iceberg
         changelog-scan analog (CDC OUT of the lake): one row per key whose
         state differs, typed I (new key) / D (gone key) / U (changed).
@@ -1195,8 +1249,16 @@ class LakeTable:
         O(changed rows), not O(table). Falls back to a full-outer join of
         the two snapshots when any intermediate version lacks change files
         (e.g. the table predates tracking).
+
+        ``keep_lineage=True`` appends the (version, seq) of each key's
+        LAST change — consumers that re-export the change stream (the
+        binlog net-change sink) name their output by seq range. On the
+        full-join fallback ``version`` is NULL (snapshots don't record
+        which commit last touched a row) and ``seq`` is the surviving
+        side's row seq.
         """
-        inc = self._diff_incremental(v_old, v_new)
+        lineage = ["version", "seq"] if keep_lineage else []
+        inc = self._diff_incremental(v_old, v_new, lineage)
         if inc is None:
             logging.getLogger(__name__).warning(
                 "diff(%d, %d) on %s: an intermediate version lacks change "
@@ -1204,7 +1266,7 @@ class LakeTable:
                 "(O(table), not O(changed rows))",
                 v_old, v_new, self.root,
             )
-            return self._diff_full(v_old, v_new)
+            return self._diff_full(v_old, v_new, lineage)
         return inc
 
     def _incremental_change_files(self, v_old: int, v_new: int) -> list[str] | None:
@@ -1240,17 +1302,18 @@ class LakeTable:
             v += 1
         return files
 
-    def _diff_incremental(self, v_old: int, v_new: int) -> DataFrame | None:
+    def _diff_incremental(
+        self, v_old: int, v_new: int, lineage: list[str] = []
+    ) -> DataFrame | None:
         files = self._incremental_change_files(v_old, v_new)
         if files is None:
             return None
+        cols = ["diff_op", *lineage, "old_content", "new_content", "new_commit"]
         if not files:
             return self.spark.createDataFrame([], CHANGE_SCHEMA_DDL).select(
-                *KEY_COLS, "diff_op", "old_content", "new_content", "new_commit"
+                *KEY_COLS, *cols
             )
-        return self._net_changes(files).select(
-            *KEY_COLS, "diff_op", "old_content", "new_content", "new_commit"
-        )
+        return self._net_changes(files).select(*KEY_COLS, *cols)
 
     def _net_changes(self, files: list[str]) -> DataFrame:
         """Collapse change rows per key to their net effect: first
@@ -1293,7 +1356,9 @@ class LakeTable:
             .filter(F.col("diff_op").isNotNull())
         )
 
-    def _diff_full(self, v_old: int, v_new: int) -> DataFrame:
+    def _diff_full(
+        self, v_old: int, v_new: int, lineage: list[str] = []
+    ) -> DataFrame:
         """Fallback: full outer join on the key; 'unchanged' keys (same
         seq) drop out. Both sides are bucket-partitioned on the same key
         hash, so the join co-locates under the bucketed layout."""
@@ -1315,12 +1380,21 @@ class LakeTable:
             .when(F.col("_o.seq") != F.col("_n.seq"), F.lit("U"))
             .otherwise(F.lit(None).cast("string"))
         )
+        lineage_cols = []
+        if lineage:
+            # snapshots don't record the committing version per row; the
+            # seq is the surviving side's row seq (old side for deletes)
+            lineage_cols = [
+                F.lit(None).cast("long").alias("version"),
+                F.coalesce(F.col("_n.seq"), F.col("_o.seq")).alias("seq"),
+            ]
         return (
             j.withColumn("diff_op", diff_op)
             .filter(F.col("diff_op").isNotNull())
             .select(
                 *KEY_COLS,
                 "diff_op",
+                *lineage_cols,
                 F.col("_o.content").alias("old_content"),
                 F.col("_n.content").alias("new_content"),
                 F.col("_n.commit").alias("new_commit"),

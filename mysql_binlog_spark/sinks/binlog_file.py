@@ -58,6 +58,8 @@ FORMAT_DESCRIPTION_EVENT = 15
 QUERY_EVENT = 2
 TABLE_MAP_EVENT = 19
 WRITE_ROWS_EVENT_V2 = 30
+UPDATE_ROWS_EVENT_V2 = 31
+DELETE_ROWS_EVENT_V2 = 32
 XID_EVENT = 16
 ROTATE_EVENT = 4
 
@@ -107,9 +109,16 @@ def _fde_body() -> bytes:
     post = bytearray(_POST_HEADER_LENS)
     post[QUERY_EVENT - 1] = 13
     post[ROTATE_EVENT - 1] = 8
-    post[FORMAT_DESCRIPTION_EVENT - 1] = 84
+    # the FDE's self-entry is its own fixed-part size, computed from the
+    # actual body layout (2 version + 50 server-version + 4 create_ts +
+    # 1 header_len + the post-header table itself) — a strict external
+    # binlog-v4 consumer validates this value (round-4 ADVICE: the old
+    # hardcoded 84 described MySQL 5.1's 27-entry table, not ours)
+    post[FORMAT_DESCRIPTION_EVENT - 1] = 2 + 50 + 4 + 1 + _POST_HEADER_LENS
     post[TABLE_MAP_EVENT - 1] = 8
     post[WRITE_ROWS_EVENT_V2 - 1] = 10
+    post[UPDATE_ROWS_EVENT_V2 - 1] = 10
+    post[DELETE_ROWS_EVENT_V2 - 1] = 10
     return (
         struct.pack("<H", 4)
         + SERVER_VERSION.ljust(50, b"\x00")
@@ -162,6 +171,19 @@ def _rows_body(rows_payload: bytes, flags: int) -> bytes:
         + b"\x03"               # columns-present bitmap (both)
         + rows_payload
     )
+
+
+def safe_file_component(repo: str) -> str:
+    """Injective, filesystem-safe encoding of a repo id for use inside an
+    output file name. Git repo ids routinely contain '/' ('org/name'),
+    and a hostile value could carry '..' or an absolute prefix — raw
+    interpolation would escape out_dir (round-4 ADVICE, path traversal).
+    percent-encodes everything outside [A-Za-z0-9._-]; '.' is kept only
+    when it cannot form a dot-segment (a leading '.' is encoded)."""
+    from urllib.parse import quote
+
+    enc = quote(repo, safe="._-")
+    return "%2E" + enc[1:] if enc.startswith(".") else enc
 
 
 def _key_bytes(repo: str, path: str) -> bytes:
@@ -244,7 +266,7 @@ def write_binlog_files(snapshot: DataFrame, out_dir: str) -> DataFrame:
                 f"binlog export of {repo}: commit/content must be non-null"
             )
         blob = build_binlog_file(rows, repo)
-        name = f"binlog-{repo}.log"
+        name = f"binlog-{safe_file_component(repo)}.log"
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -365,9 +387,17 @@ def read_binlog_files(spark, path: str) -> DataFrame:
     """Distributed parse of a binlog-file directory back into rows — the
     roundtrip proof that the framing is real (decode own output ->
     collapse -> equals the snapshot it was built from)."""
-    files = spark.read.format("binaryFile").load(
-        os.path.join(path, "binlog-*.log")
-    ).select("content")
+    # pathGlobFilter (not a glob IN the path): loading a glob path makes
+    # Spark's FileStreamSink.hasMetadata stat the glob string as a literal
+    # file, which logs a benign-but-alarming FileNotFoundException stack
+    # at WARN on every read (the unexplained trace in round-4's bench
+    # tail). Stat'ing the real directory keeps the probe silent.
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "binlog-*.log")
+        .load(path)
+        .select("content")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in PARSED_ROW_SCHEMA.fields]
@@ -382,3 +412,540 @@ def read_binlog_files(spark, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(run, schema=PARSED_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# NET-CHANGE export: DELETE_ROWS / UPDATE_ROWS v2 framing of diff() output
+# ---------------------------------------------------------------------------
+#
+# The snapshot export above frames inserts only. The reference's restitute
+# path writes the NET-CHANGE stream in three per-op-type passes — all
+# WriteRows, then all DeleteRows, then all UpdateRows, each pass under its
+# own TABLE_MAP so the map event is not repeated per row
+# (backup/binlog/repl.go:770-800 `dumpBinlog`/`have`) — into files named
+# {type}_{start:010d}_{end:010d}.log (common/inter/constant.go:82,134-136),
+# optionally zlib-compressed whole-stream (common/client/cfs.go:62-68), and
+# later folded into rolling {type}_{start}_{end}.tar consolidation archives
+# (cfs.go:84-171). This section is the byte-level analog over
+# ``LakeTable.diff(..., keep_lineage=True)`` output; start/end are SEQ
+# bounds (the engine's GTID-like monotone sequence — the reference uses
+# flush timestamps, its per-granularity analog of the same monotone axis).
+#
+# Net-change table layout (one TABLE_MAP per pass): THREE blob columns
+# ``(key, commit, content)``, meta=4. Row images use minimal
+# columns-present bitmaps, exactly binlog-v2's partial-row-image protocol:
+#
+#   WRITE_ROWS  (I): after image,  bitmap 0b111  -> key, new_commit, new_content
+#   DELETE_ROWS (D): before image, bitmap 0b101  -> key, old_content
+#   UPDATE_ROWS (U): before 0b101 (key, old_content)
+#                    + after 0b111 (key, new_commit, new_content)
+#
+# so a parse of the engine's own export reconstructs the full diff row set
+# including old images — the roundtrip contract query shares the
+# cdc_version_diff oracle verbatim.
+
+NETCHANGE_KIND = "chg"
+_BM_KEY_CONTENT = 0b101  # key + content present
+_BM_ALL = 0b111          # key + commit + content
+
+NETCHANGE_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("file_name", T.StringType(), False),
+        T.StructField("n_rows", T.LongType(), False),
+        T.StructField("n_inserts", T.LongType(), False),
+        T.StructField("n_deletes", T.LongType(), False),
+        T.StructField("n_updates", T.LongType(), False),
+        T.StructField("start_seq", T.LongType(), False),
+        T.StructField("end_seq", T.LongType(), False),
+        T.StructField("byte_len", T.LongType(), False),
+        T.StructField("compressed", T.BooleanType(), False),
+        T.StructField("file_sha256", T.StringType(), False),
+    ]
+)
+
+NETCHANGE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("diff_op", T.StringType(), False),
+        T.StructField("old_content", T.StringType(), True),
+        T.StructField("new_content", T.StringType(), True),
+        T.StructField("new_commit", T.StringType(), True),
+        T.StructField("chunk_idx", T.LongType(), False),
+        T.StructField("xid", T.LongType(), False),
+    ]
+)
+
+#: pass order mirrors the reference's dumpBinlog: inserts, deletes, updates
+_NC_PASSES = (
+    ("I", WRITE_ROWS_EVENT_V2),
+    ("D", DELETE_ROWS_EVENT_V2),
+    ("U", UPDATE_ROWS_EVENT_V2),
+)
+
+
+def _nc_table_map_body(schema: bytes, table: bytes) -> bytes:
+    """TABLE_MAP for the 3-column net-change layout (key, commit,
+    content) — BLOBs with 4-byte length prefixes, nothing nullable."""
+    return (
+        TABLE_ID.to_bytes(6, "little")
+        + struct.pack("<H", 0)
+        + bytes([len(schema)]) + schema + b"\x00"
+        + bytes([len(table)]) + table + b"\x00"
+        + b"\x03"                    # column count
+        + bytes([252, 252, 252])     # MYSQL_TYPE_BLOB x3
+        + b"\x03" + bytes([4, 4, 4])  # metadata: 4-byte blob length prefix
+        + b"\x00"                    # null bitmap: none nullable
+    )
+
+
+def _nc_image(bitmap: int, key: bytes, commit: bytes | None,
+              content: bytes) -> bytes:
+    """One row image under a columns-present bitmap. The per-image null
+    bitmap covers present columns only (all non-null here -> 0x00)."""
+    out = bytearray(b"\x00")
+    for bit, val in ((1, key), (2, commit), (4, content)):
+        if bitmap & bit:
+            assert val is not None
+            out.extend(struct.pack("<I", len(val)) + val)
+    return bytes(out)
+
+
+def _nc_encode_row(op: str, key: bytes, old_content: str | None,
+                   new_content: str | None, new_commit: str | None) -> bytes:
+    if op == "I":
+        return _nc_image(_BM_ALL, key, new_commit.encode(), new_content.encode())
+    if op == "D":
+        return _nc_image(_BM_KEY_CONTENT, key, None, old_content.encode())
+    return _nc_image(_BM_KEY_CONTENT, key, None, old_content.encode()) + _nc_image(
+        _BM_ALL, key, new_commit.encode(), new_content.encode()
+    )
+
+
+def _nc_rows_body(etype: int, rows_payload: bytes, flags: int) -> bytes:
+    """ROWS v2 body for the net-change layout; UPDATE carries the second
+    (after-image) columns-present bitmap."""
+    head = (
+        TABLE_ID.to_bytes(6, "little")
+        + struct.pack("<H", flags)
+        + struct.pack("<H", 2)
+        + b"\x03"
+    )
+    if etype == WRITE_ROWS_EVENT_V2:
+        head += bytes([_BM_ALL])
+    elif etype == DELETE_ROWS_EVENT_V2:
+        head += bytes([_BM_KEY_CONTENT])
+    else:
+        head += bytes([_BM_KEY_CONTENT, _BM_ALL])
+    return head + rows_payload
+
+
+def _nc_validate(op: str, old_content, new_content, new_commit,
+                 repo: str, path: str) -> None:
+    need = {
+        "I": (new_content is not None and new_commit is not None),
+        "D": (old_content is not None),
+        "U": (
+            old_content is not None
+            and new_content is not None
+            and new_commit is not None
+        ),
+    }.get(op)
+    if need is None:
+        raise ValueError(f"netchange export: unknown diff_op {op!r} for "
+                         f"({repo!r}, {path!r})")
+    if not need:
+        raise ValueError(
+            f"netchange export: {op} row for ({repo!r}, {path!r}) is "
+            "missing its required image columns"
+        )
+
+
+def build_netchange_file(
+    rows: list[tuple[str, str, str, str | None, str | None, str | None]],
+    repo: str,
+    start_xid: int = 1,
+    next_name: str = "",
+) -> bytes:
+    """Frame one rotation segment's net-change rows as a complete binlog
+    file: magic, FDE, then one BEGIN / TABLE_MAP / <=8KB-chunked rows
+    events / XID transaction PER op-type pass present (I, D, U — the
+    reference's three-pass restitute), ROTATE trailer naming the next
+    segment. ``rows`` = (path, op, old_content, new_content, new_commit)
+    tuples, already (seq, path)-ordered. Pure function of its inputs."""
+    out = bytearray(BINLOG_MAGIC)
+    pos = len(out)
+
+    def emit(etype: int, body: bytes, flags: int = 0) -> None:
+        nonlocal pos
+        ev = _event(etype, body, pos, flags=flags)
+        out.extend(ev)
+        pos += len(ev)
+
+    emit(FORMAT_DESCRIPTION_EVENT, _fde_body())
+    known = {op for op, _ in _NC_PASSES}
+    stray = sorted({r[1] for r in rows} - known)
+    if stray:
+        raise ValueError(
+            f"netchange export: unknown diff_op {stray[0]!r} for repo {repo!r}"
+        )
+    xid = start_xid
+    for op, etype in _NC_PASSES:
+        pass_rows = [r for r in rows if r[1] == op]
+        if not pass_rows:
+            continue
+        emit(QUERY_EVENT, _query_body(repo.encode(), b"BEGIN"))
+        emit(TABLE_MAP_EVENT, _nc_table_map_body(repo.encode(), b"changes"))
+        chunks: list[bytearray] = [bytearray()]
+        cum = 0
+        for path, _op, old_c, new_c, new_cm in pass_rows:
+            _nc_validate(op, old_c, new_c, new_cm, repo, path)
+            enc = _nc_encode_row(op, _key_bytes(repo, path), old_c, new_c, new_cm)
+            idx = cum // BUFFER_SIZE
+            while idx >= len(chunks):
+                chunks.append(bytearray())
+            chunks[idx].extend(enc)
+            cum += len(enc)
+        for i, ch in enumerate(chunks):
+            flags = STMT_END_F if i == len(chunks) - 1 else 0
+            emit(etype, _nc_rows_body(etype, bytes(ch), flags))
+        emit(XID_EVENT, struct.pack("<Q", xid))
+        xid += 1
+    emit(ROTATE_EVENT, struct.pack("<Q", pos) + next_name.encode())
+    return bytes(out)
+
+
+def _nc_row_size(op: str, key: bytes, old_c, new_c, new_cm) -> int:
+    """Encoded byte size of one row entry (U = before + after images) —
+    used by the rotation planner without materializing the bytes twice."""
+    img = lambda *vals: 1 + sum(4 + len(v) for v in vals)  # noqa: E731
+    if op == "I":
+        return img(key, new_cm.encode(), new_c.encode())
+    if op == "D":
+        return img(key, old_c.encode())
+    return img(key, old_c.encode()) + img(key, new_cm.encode(), new_c.encode())
+
+
+def write_netchange_binlog_files(
+    changes: DataFrame,
+    out_dir: str,
+    max_file_bytes: int | None = None,
+    compress: bool = False,
+) -> DataFrame:
+    """Export a net-change set (``LakeTable.diff(v0, v1,
+    keep_lineage=True)`` — columns repo, path, diff_op, seq, old_content,
+    new_content, new_commit) as binlog files under
+    ``out_dir/<repo>/chg_{start}_{end}.log[.z]``:
+
+    - per-repo output directory (encoded via ``safe_file_component``);
+    - size-based ROTATION: rows are (seq, path)-ordered, then cut greedily
+      into segments whose encoded row payload stays under
+      ``max_file_bytes`` (None = one file per repo); each segment is a
+      complete self-describing binlog file whose ROTATE event names the
+      next segment's prefix (the reference's NextPrefix,
+      common/inter/constant.go:137-139);
+    - optional whole-stream zlib (``.log.z`` — common/client/cfs.go:62-68).
+
+    Files are written ON THE EXECUTORS (one applyInPandas group per repo —
+    change payloads shuffle exactly once, to their repo's writer); the
+    return value is the small per-file manifest with start/end seqs.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["seq", "path"])
+        # Arrow->pandas can surface SQL NULLs as NaN; normalize to None so
+        # the per-op image validation sees real nulls
+        pdf = pdf.astype(object).where(pd.notnull(pdf), None)
+        repo = pdf["repo"].iloc[0]
+        rows = list(
+            zip(pdf["path"], pdf["diff_op"], pdf["old_content"],
+                pdf["new_content"], pdf["new_commit"], pdf["seq"])
+        )
+        key_of = lambda p: _key_bytes(repo, p)  # noqa: E731
+        # greedy rotation over the seq-ordered rows: a segment closes once
+        # its encoded payload exceeds the bound (>=1 row per segment, like
+        # the 8KB chunk rule's overshoot-by-one-row flush)
+        segments: list[list] = [[]]
+        seg_bytes = 0
+        for r in rows:
+            path, op, old_c, new_c, new_cm, _seq = r
+            _nc_validate(op, old_c, new_c, new_cm, repo, path)
+            sz = _nc_row_size(op, key_of(path), old_c, new_c, new_cm)
+            if (
+                max_file_bytes is not None
+                and segments[-1]
+                and seg_bytes + sz > max_file_bytes
+            ):
+                segments.append([])
+                seg_bytes = 0
+            segments[-1].append(r)
+            seg_bytes += sz
+        if not segments[-1]:
+            segments.pop()
+
+        rdir = os.path.join(out_dir, safe_file_component(repo))
+        os.makedirs(rdir, exist_ok=True)
+        recs = []
+        for i, seg in enumerate(segments):
+            start, end = int(seg[0][5]), int(seg[-1][5])
+            nxt = (
+                f"{NETCHANGE_KIND}_{end:010d}"
+                if i < len(segments) - 1
+                else ""
+            )
+            blob = build_netchange_file(
+                [r[:5] for r in seg], repo, start_xid=3 * i + 1, next_name=nxt
+            )
+            name = f"{NETCHANGE_KIND}_{start:010d}_{end:010d}.log"
+            if compress:
+                blob = zlib.compress(blob, 6)
+                name += ".z"
+            tmp = os.path.join(rdir, f".{name}.tmp-{os.getpid()}")
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, os.path.join(rdir, name))
+            ops = [r[1] for r in seg]
+            recs.append(
+                {
+                    "repo": repo,
+                    "file_name": f"{safe_file_component(repo)}/{name}",
+                    "n_rows": len(seg),
+                    "n_inserts": ops.count("I"),
+                    "n_deletes": ops.count("D"),
+                    "n_updates": ops.count("U"),
+                    "start_seq": start,
+                    "end_seq": end,
+                    "byte_len": len(blob),
+                    "compressed": compress,
+                    "file_sha256": hashlib.sha256(blob).hexdigest(),
+                }
+            )
+        return pd.DataFrame(
+            recs, columns=[f.name for f in NETCHANGE_MANIFEST_SCHEMA.fields]
+        )
+
+    cols = ["repo", "path", "diff_op", "seq", "old_content", "new_content",
+            "new_commit"]
+    return changes.select(*cols).groupBy("repo").applyInPandas(
+        build, schema=NETCHANGE_MANIFEST_SCHEMA
+    )
+
+
+def parse_netchange_bytes(blob: bytes) -> list[dict]:
+    """Decode one net-change binlog file -> row dicts (repo, path,
+    diff_op, old_content, new_content, new_commit, chunk_idx, xid).
+    Accepts whole-stream zlib transparently. Verifies magic, sizes,
+    every CRC32, and the per-pass BEGIN/TABLE_MAP/rows/XID protocol;
+    malformed input fails loudly."""
+    if blob[:1] == b"\x78" and not blob.startswith(BINLOG_MAGIC):
+        blob = zlib.decompress(blob)
+    if not blob.startswith(BINLOG_MAGIC):
+        raise ValueError("not a binlog file (bad magic)")
+    pos = len(BINLOG_MAGIC)
+    rows: list[dict] = []
+    pending: list[dict] = []
+    chunk_idx = 0
+    saw_fde = saw_stmt_end = False
+    op_of = {WRITE_ROWS_EVENT_V2: "I", DELETE_ROWS_EVENT_V2: "D",
+             UPDATE_ROWS_EVENT_V2: "U"}
+
+    def _read_image(body: bytes, off: int, bitmap: int):
+        off += 1  # null bitmap byte (nothing null in this layout)
+        vals: dict[int, bytes] = {}
+        for bit in (1, 2, 4):
+            if bitmap & bit:
+                (ln,) = struct.unpack("<I", body[off:off + 4])
+                vals[bit] = body[off + 4:off + 4 + ln]
+                off += 4 + ln
+        return vals, off
+
+    while pos < len(blob):
+        if pos + HEADER_LEN > len(blob):
+            raise ValueError(f"truncated event header at byte {pos}")
+        _ts, etype, _sid, size, log_pos, _flags = struct.unpack(
+            "<IBIIIH", blob[pos:pos + HEADER_LEN]
+        )
+        if size < HEADER_LEN + 4 or pos + size > len(blob):
+            raise ValueError(f"bad event size {size} at byte {pos}")
+        if log_pos != pos + size:
+            raise ValueError(
+                f"log_pos {log_pos} != end position {pos + size} at {pos}"
+            )
+        body = blob[pos + HEADER_LEN:pos + size - 4]
+        (crc,) = struct.unpack("<I", blob[pos + size - 4:pos + size])
+        if zlib.crc32(blob[pos:pos + size - 4]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC32 mismatch in event at byte {pos}")
+        if etype == FORMAT_DESCRIPTION_EVENT:
+            if struct.unpack("<H", body[:2])[0] != 4:
+                raise ValueError("unsupported binlog version")
+            saw_fde = True
+        elif etype in op_of:
+            if not saw_fde:
+                raise ValueError("rows event before FORMAT_DESCRIPTION")
+            op = op_of[etype]
+            rflags = struct.unpack("<H", body[6:8])[0]
+            off = 6 + 2 + 2 + 1  # table_id, flags, extra, ncols
+            bm1 = body[off]
+            off += 1
+            bm2 = None
+            if etype == UPDATE_ROWS_EVENT_V2:
+                bm2 = body[off]
+                off += 1
+            while off < len(body):
+                before, off = _read_image(body, off, bm1)
+                after = None
+                if bm2 is not None:
+                    after, off = _read_image(body, off, bm2)
+                img = after if after is not None else before
+                repo_b, path_b = img[1].split(b"\x00", 1)
+                rec = {
+                    "repo": repo_b.decode(),
+                    "path": path_b.decode(),
+                    "diff_op": op,
+                    "old_content": None,
+                    "new_content": None,
+                    "new_commit": None,
+                    "chunk_idx": chunk_idx,
+                    "xid": -1,
+                }
+                if op == "I":
+                    rec["new_commit"] = before[2].decode()
+                    rec["new_content"] = before[4].decode()
+                elif op == "D":
+                    rec["old_content"] = before[4].decode()
+                else:
+                    rec["old_content"] = before[4].decode()
+                    rec["new_commit"] = after[2].decode()
+                    rec["new_content"] = after[4].decode()
+                pending.append(rec)
+            chunk_idx += 1
+            if rflags & STMT_END_F:
+                saw_stmt_end = True
+        elif etype == XID_EVENT:
+            if not saw_stmt_end and pending:
+                raise ValueError("XID before the STMT_END rows chunk")
+            (xid,) = struct.unpack("<Q", body[:8])
+            for r in pending:
+                r["xid"] = xid
+            rows.extend(pending)
+            pending = []
+            chunk_idx = 0  # chunk index restarts per transaction/pass
+            saw_stmt_end = False
+        pos += size
+    if pending:
+        raise ValueError("rows chunks with no committing XID event")
+    return rows
+
+
+def read_netchange_binlog_files(spark, out_dir: str) -> DataFrame:
+    """Distributed parse of a net-change export tree (including rotated
+    segments, ``.z`` zlib files and ``.tar`` consolidation archives) back
+    into diff rows — the roundtrip proof for the D/U framing."""
+    import io as _io
+    import tarfile
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", f"{NETCHANGE_KIND}_*")
+        .load(out_dir)
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in NETCHANGE_ROW_SCHEMA.fields]
+        for pdf in batches:
+            recs: list[dict] = []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                blob = bytes(blob)
+                if path.endswith(".tar"):
+                    with tarfile.open(fileobj=_io.BytesIO(blob)) as tf:
+                        for member in tf.getmembers():
+                            if not member.isfile():
+                                continue
+                            recs.extend(
+                                parse_netchange_bytes(tf.extractfile(member).read())
+                            )
+                else:
+                    recs.extend(parse_netchange_bytes(blob))
+            yield (
+                pd.DataFrame(recs, columns=cols)
+                if recs
+                else pd.DataFrame({c: pd.Series(dtype="object") for c in cols})
+            )
+
+    return files.mapInPandas(run, schema=NETCHANGE_ROW_SCHEMA)
+
+
+def consolidate_netchange_exports(spark, out_dir: str) -> DataFrame:
+    """Fold each repo's rotated segment files into ONE rolling
+    ``chg_{min}_{max}.tar`` archive and remove the originals — the
+    reference's per-day tar consolidation (common/client/cfs.go:84-171,
+    DstTarFileName constant.go:141-143): many small rotation segments
+    become one sequentially-readable archive while staying parseable
+    (``read_netchange_binlog_files`` opens tar members transparently).
+
+    Runs one applyInPandas task per repo directory (the tar fold is
+    file-level work, done where the files live — assumes out_dir is
+    shared storage, the same assumption the writer's ``open()`` makes).
+    Tar members are written with zeroed metadata so archive bytes are a
+    pure function of the member contents. Returns the per-archive
+    manifest."""
+    import tarfile
+
+    dirs = sorted(
+        d for d in os.listdir(out_dir)
+        if os.path.isdir(os.path.join(out_dir, d))
+    )
+    if not dirs:
+        return spark.createDataFrame([], "repo_dir string, tar_name string, "
+                                         "n_members long, byte_len long")
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["repo_dir"].iloc[0]
+        rdir = os.path.join(out_dir, d)
+        names = sorted(
+            n for n in os.listdir(rdir)
+            if n.startswith(f"{NETCHANGE_KIND}_") and ".log" in n
+            and not n.endswith(".tar")
+        )
+        if not names:
+            return pd.DataFrame(
+                columns=["repo_dir", "tar_name", "n_members", "byte_len"]
+            )
+        seqs = [int(n.split("_")[1]) for n in names] + [
+            int(n.split("_")[2].split(".")[0]) for n in names
+        ]
+        tar_name = (
+            f"{NETCHANGE_KIND}_{min(seqs):010d}_{max(seqs):010d}.tar"
+        )
+        tmp = os.path.join(rdir, f".{tar_name}.tmp-{os.getpid()}")
+        with tarfile.open(tmp, "w") as tf:
+            for n in names:
+                with open(os.path.join(rdir, n), "rb") as f:
+                    data = f.read()
+                info = tarfile.TarInfo(name=n)
+                info.size = len(data)
+                info.mtime = 0  # deterministic archive bytes
+                import io as _io
+
+                tf.addfile(info, _io.BytesIO(data))
+        os.replace(tmp, os.path.join(rdir, tar_name))
+        for n in names:
+            os.remove(os.path.join(rdir, n))
+        return pd.DataFrame(
+            [{
+                "repo_dir": d,
+                "tar_name": tar_name,
+                "n_members": len(names),
+                "byte_len": os.path.getsize(os.path.join(rdir, tar_name)),
+            }]
+        )
+
+    listing = spark.createDataFrame([(d,) for d in dirs], "repo_dir string")
+    return listing.groupBy("repo_dir").applyInPandas(
+        fold, schema="repo_dir string, tar_name string, n_members long, "
+                     "byte_len long"
+    )

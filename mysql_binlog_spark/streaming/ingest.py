@@ -103,6 +103,30 @@ def stream_ingest(
         raise ValueError(f"on_straddle must be 'error' or 'reapply', got {on_straddle!r}")
     if maintain_every is not None and maintain_every < 1:
         raise ValueError("maintain_every must be >= 1")
+    if (
+        maintain_every is not None
+        and table.track_changes
+        and maintain_change_retention is None
+    ):
+        # vacuum clamps manifest expiration to changes_floor, and the floor
+        # only advances when change retention is configured — so on a
+        # change-tracked stream the default maintenance keeps EVERY
+        # manifest and metadata still grows without bound, silently
+        # defeating what maintain_every is for (round-4 ADVICE). Warn
+        # loudly rather than defaulting a retention: retiring change files
+        # silently would break incremental diff() over older ranges.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "stream_ingest(maintain_every=%d) on change-tracked table %s "
+            "without maintain_change_retention: manifests cannot be "
+            "expired below the change floor, so table metadata will STILL "
+            "grow unboundedly. Pass maintain_change_retention=N to retire "
+            "change files older than N versions (diff() below that floor "
+            "then falls back to the snapshot join), or run "
+            "compact_changes + vacuum out of band.",
+            maintain_every, table.root,
+        )
     src = read_changelog_stream(spark, events_dir, max_files_per_trigger)
     commits_since_maintain = [0]
 
