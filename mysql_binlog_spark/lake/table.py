@@ -381,6 +381,21 @@ class LakeTable:
     # source keeps an INDEPENDENT fence under ``source_fences`` — exactly
     # like a GTID set tracking per-server-UUID applied intervals. The
     # default source "" uses the top-level watermark fields.
+    #
+    # GTID-gap semantics: the reference stores per-UUID INTERVAL sets
+    # because a MySQL upstream can interleave transactions from many
+    # domains; this engine's per-source seq fence is a scalar watermark
+    # instead, which is sufficient under its documented landing contract:
+    # within one source, files land in seq ORDER. Seqs need NOT be dense
+    # — a source that legitimately skips seqs (events filtered upstream)
+    # works unchanged, because every fence comparison (epoch fencing,
+    # streaming straddle detection, the applied-file floor) is an
+    # order/range test, never an arithmetic-successor test (proven by
+    # tests/test_streaming.py::test_stream_ingest_with_gapped_seqs).
+    # What the scalar fence CANNOT represent is out-of-ORDER application
+    # within one source — exactly the case the streaming front end
+    # refuses loudly (straddle / never-applied audit) rather than
+    # mis-fencing.
 
     @staticmethod
     def _fence_of(manifest: dict, source: str) -> tuple[int, list[int]]:

@@ -27,8 +27,12 @@ collapse + fenced-merge path as the batch engine.
   crash order, or after a full checkpoint wipe) re-apply nothing and
   lose nothing — the reference's position-row resume semantics
   (common/db/mysql.go:198-226: restart reads the position, not a batch
-  counter). Requires the source's seq order across files (guaranteed by
-  the changelog landing protocol, like binlog file ordering); a late
+  counter). Requires the source's seq ORDER across files (guaranteed by
+  the changelog landing protocol, like binlog file ordering) — NOT seq
+  density: a source whose seqs have gaps (events filtered upstream)
+  streams unchanged, since every fence test is an order/range
+  comparison (see the GTID-gap note at lake/table.py's fence section
+  and test_stream_ingest_with_gapped_seqs); a late
   file straddling the committed watermark is DETECTED and fails the
   stream loudly rather than silently dropping its never-applied rows,
   and a late file WHOLLY below the watermark is audited against the
