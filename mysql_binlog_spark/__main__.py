@@ -6,6 +6,8 @@
     python -m mysql_binlog_spark snapshot --table DIR --out DIR [--version V]
     python -m mysql_binlog_spark vacuum   --table DIR [--keep N] [--expire-manifests]
     python -m mysql_binlog_spark binlog-export --table DIR --out DIR
+    python -m mysql_binlog_spark binlog-export-changes --table DIR --from-version N --out DIR
+    python -m mysql_binlog_spark binlog-apply --dir DIR --driver pymysql --host H
 
 reference: backup/main.go:198-222 (tail+compact), merge/main.go:274-298
 (bounded range -> one output), recover/main.go:66-145 (replay to target).
@@ -116,7 +118,76 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--out", required=True)
     be.add_argument("--version", type=int, default=None)
 
+    bec = sub.add_parser(
+        "binlog-export-changes",
+        help="export the NET-CHANGE set between two versions as binlog-v4 "
+        "files: per-op-type passes (WRITE/DELETE/UPDATE rows v2), "
+        "size-rotated chg_{start}_{end}.log segments, optional zlib and "
+        "per-repo tar consolidation",
+    )
+    bec.add_argument("--table", required=True)
+    bec.add_argument("--from-version", type=int, required=True, dest="from_version")
+    bec.add_argument("--to-version", type=int, default=None, dest="to_version")
+    bec.add_argument("--out", required=True)
+    bec.add_argument(
+        "--max-file-bytes", type=int, default=None, dest="max_file_bytes",
+        help="rotate segments at this payload size (default: one file/repo)",
+    )
+    bec.add_argument("--compress", action="store_true",
+                     help="zlib whole-stream compression (.log.z)")
+    bec.add_argument("--consolidate", action="store_true",
+                     help="fold rotated segments into per-repo rolling tars")
+
+    ba = sub.add_parser(
+        "binlog-apply",
+        help="apply a binlog export directory to a live MySQL through "
+        "BINLOG statements in XID-delimited transactions (the reference's "
+        "recover executor; needs a DB-API driver such as pymysql or "
+        "mysql-connector-python on the PYTHONPATH)",
+    )
+    ba.add_argument("--dir", required=True, dest="apply_dir")
+    ba.add_argument("--driver", default="pymysql",
+                    help="DB-API module name (pymysql, mysql.connector, ...)")
+    ba.add_argument("--host", default="127.0.0.1")
+    ba.add_argument("--port", type=int, default=3306)
+    ba.add_argument("--user", default="root")
+    ba.add_argument("--password", default="")
+    ba.add_argument("--database", default=None)
+    ba.add_argument("--max-allowed-packet", type=int, default=4 * 1024 * 1024,
+                    dest="max_allowed_packet")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "binlog-apply":
+        # a pure DB-API sink: no Spark session needed (or wanted) here
+        import importlib
+
+        from mysql_binlog_spark.sinks.mysql_apply import apply_binlog_dir
+
+        try:
+            drv = importlib.import_module(args.driver)
+        except ImportError as e:
+            print(json.dumps({
+                "cmd": "binlog-apply",
+                "error": f"DB-API driver {args.driver!r} not importable: {e}",
+            }))
+            return 2
+        kwargs = {"host": args.host, "port": args.port, "user": args.user,
+                  "password": args.password}
+        if args.database:
+            kwargs["database"] = args.database
+        report = apply_binlog_dir(
+            lambda: drv.connect(**kwargs), args.apply_dir,
+            max_allowed_packet=args.max_allowed_packet,
+        )
+        print(json.dumps({
+            "cmd": "binlog-apply", "files": report.files,
+            "transactions": report.transactions,
+            "rows_statements": report.rows_statements,
+            "ddl_statements": report.ddl_statements,
+            "packet_growths": report.packet_growths,
+        }))
+        return 0
 
     from mysql_binlog_spark.session import get_spark
 
@@ -266,6 +337,37 @@ def main(argv: list[str] | None = None) -> int:
                     "out": args.out,
                     "files": len(manifest),
                     "rows": sum(r["n_rows"] for r in manifest),
+                }
+            )
+        )
+
+    elif args.cmd == "binlog-export-changes":
+        from mysql_binlog_spark.lake.table import LakeTable
+        from mysql_binlog_spark.sinks.binlog_file import (
+            consolidate_netchange_exports,
+            write_netchange_binlog_files,
+        )
+
+        t = LakeTable(spark, args.table)
+        v_to = args.to_version if args.to_version is not None else t.current_version()
+        chg = t.diff(args.from_version, v_to, keep_lineage=True)
+        manifest = write_netchange_binlog_files(
+            chg, args.out, max_file_bytes=args.max_file_bytes,
+            compress=args.compress,
+        ).collect()
+        tars = 0
+        if args.consolidate:
+            tars = len(consolidate_netchange_exports(spark, args.out).collect())
+        print(
+            json.dumps(
+                {
+                    "cmd": "binlog-export-changes",
+                    "out": args.out,
+                    "from": args.from_version,
+                    "to": v_to,
+                    "files": len(manifest),
+                    "rows": sum(r["n_rows"] for r in manifest),
+                    "tars": tars,
                 }
             )
         )

@@ -302,6 +302,38 @@ def write_binlog_files(snapshot: DataFrame, out_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def iter_binlog_events(blob: bytes):
+    """Validated walk over one binlog file: yields (etype, raw_event,
+    body, pos) per event, where ``raw_event`` is the complete framed
+    event (header+body+CRC — what BINLOG-statement replay base64s) and
+    ``body`` excludes header and CRC. Verifies the magic, every event's
+    size/log_pos bookkeeping and CRC32; accepts whole-stream zlib."""
+    if blob[:1] == b"\x78" and not blob.startswith(BINLOG_MAGIC):
+        blob = zlib.decompress(blob)
+    if not blob.startswith(BINLOG_MAGIC):
+        raise ValueError("not a binlog file (bad magic)")
+    pos = len(BINLOG_MAGIC)
+    while pos < len(blob):
+        if pos + HEADER_LEN > len(blob):
+            raise ValueError(f"truncated event header at byte {pos}")
+        _ts, etype, _sid, size, log_pos, _flags = struct.unpack(
+            "<IBIIIH", blob[pos:pos + HEADER_LEN]
+        )
+        if size < HEADER_LEN + 4 or pos + size > len(blob):
+            raise ValueError(f"bad event size {size} at byte {pos}")
+        if log_pos != pos + size:
+            raise ValueError(
+                f"log_pos {log_pos} != end position {pos + size} at {pos}"
+            )
+        raw = blob[pos:pos + size]
+        body = raw[HEADER_LEN:-4]
+        (crc,) = struct.unpack("<I", raw[-4:])
+        if zlib.crc32(raw[:-4]) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC32 mismatch in event at byte {pos}")
+        yield etype, raw, body, pos
+        pos += size
+
+
 def parse_binlog_bytes(blob: bytes) -> list[dict]:
     """Decode one binlog file -> row dicts (repo, path, commit, lang,
     content, chunk_idx, xid). Verifies the magic, every event's CRC32 and
