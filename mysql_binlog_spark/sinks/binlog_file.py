@@ -339,30 +339,12 @@ def parse_binlog_bytes(blob: bytes) -> list[dict]:
     content, chunk_idx, xid). Verifies the magic, every event's CRC32 and
     size bookkeeping, and the chunk flag protocol; malformed input fails
     loudly (never returns partial rows silently)."""
-    if not blob.startswith(BINLOG_MAGIC):
-        raise ValueError("not a binlog file (bad magic)")
-    pos = len(BINLOG_MAGIC)
     rows: list[dict] = []
     pending: list[dict] = []
     chunk_idx = 0
     saw_fde = saw_stmt_end = False
     xid = None
-    while pos < len(blob):
-        if pos + HEADER_LEN > len(blob):
-            raise ValueError(f"truncated event header at byte {pos}")
-        ts, etype, _sid, size, log_pos, flags = struct.unpack(
-            "<IBIIIH", blob[pos:pos + HEADER_LEN]
-        )
-        if size < HEADER_LEN + 4 or pos + size > len(blob):
-            raise ValueError(f"bad event size {size} at byte {pos}")
-        if log_pos != pos + size:
-            raise ValueError(
-                f"log_pos {log_pos} != end position {pos + size} at {pos}"
-            )
-        body = blob[pos + HEADER_LEN:pos + size - 4]
-        (crc,) = struct.unpack("<I", blob[pos + size - 4:pos + size])
-        if zlib.crc32(blob[pos:pos + size - 4]) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC32 mismatch in event at byte {pos}")
+    for etype, _raw, body, pos in iter_binlog_events(blob):
         if etype == FORMAT_DESCRIPTION_EVENT:
             if struct.unpack("<H", body[:2])[0] != 4:
                 raise ValueError("unsupported binlog version")
@@ -409,7 +391,6 @@ def parse_binlog_bytes(blob: bytes) -> list[dict]:
                 r["xid"] = xid
             rows.extend(pending)
             pending = []
-        pos += size
     if pending:
         raise ValueError("rows chunks with no committing XID event")
     return rows
@@ -771,11 +752,6 @@ def parse_netchange_bytes(blob: bytes) -> list[dict]:
     Accepts whole-stream zlib transparently. Verifies magic, sizes,
     every CRC32, and the per-pass BEGIN/TABLE_MAP/rows/XID protocol;
     malformed input fails loudly."""
-    if blob[:1] == b"\x78" and not blob.startswith(BINLOG_MAGIC):
-        blob = zlib.decompress(blob)
-    if not blob.startswith(BINLOG_MAGIC):
-        raise ValueError("not a binlog file (bad magic)")
-    pos = len(BINLOG_MAGIC)
     rows: list[dict] = []
     pending: list[dict] = []
     chunk_idx = 0
@@ -793,22 +769,7 @@ def parse_netchange_bytes(blob: bytes) -> list[dict]:
                 off += 4 + ln
         return vals, off
 
-    while pos < len(blob):
-        if pos + HEADER_LEN > len(blob):
-            raise ValueError(f"truncated event header at byte {pos}")
-        _ts, etype, _sid, size, log_pos, _flags = struct.unpack(
-            "<IBIIIH", blob[pos:pos + HEADER_LEN]
-        )
-        if size < HEADER_LEN + 4 or pos + size > len(blob):
-            raise ValueError(f"bad event size {size} at byte {pos}")
-        if log_pos != pos + size:
-            raise ValueError(
-                f"log_pos {log_pos} != end position {pos + size} at {pos}"
-            )
-        body = blob[pos + HEADER_LEN:pos + size - 4]
-        (crc,) = struct.unpack("<I", blob[pos + size - 4:pos + size])
-        if zlib.crc32(blob[pos:pos + size - 4]) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC32 mismatch in event at byte {pos}")
+    for etype, _raw, body, pos in iter_binlog_events(blob):
         if etype == FORMAT_DESCRIPTION_EVENT:
             if struct.unpack("<H", body[:2])[0] != 4:
                 raise ValueError("unsupported binlog version")
@@ -865,7 +826,6 @@ def parse_netchange_bytes(blob: bytes) -> list[dict]:
             pending = []
             chunk_idx = 0  # chunk index restarts per transaction/pass
             saw_stmt_end = False
-        pos += size
     if pending:
         raise ValueError("rows chunks with no committing XID event")
     return rows

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""sf1 scaling run for the dedup family (round-4 judge item 8).
+
+All per-round perf evidence is sf0.1 (5k documents); a quadratic shape
+hidden behind the blocking guards (band-bucket skew, chunk-window blowup)
+would only show at 10x. No sf1 testdata exists, so this script
+synthesizes a deterministic 10x documents table FROM sf0.1: ten copies,
+each with doc_ids offset into a disjoint range and its text WORD-ROTATED
+by a copy-specific fraction (k/10 of the word count). Rotation preserves
+the within-copy near-dup structure (two similar texts rotate into two
+similar texts — shingle overlap survives except at the cut point) while
+making copies of the SAME document dissimilar to each other (every
+k-shingle crosses different word boundaries), so pair counts scale
+~linearly with corpus size instead of quadratically with the copy count
+— the honest 10x, not 10 near-identical replicas.
+
+Runs each dedup query at sf0.1 and the synthesized sf1 IN THE SAME
+SESSION (same JIT/codegen state) and prints one JSON line with both
+timings, the scale ratios, and pair/group counts. A ratio near ~10-15x
+on 32 cores is linear-ish (fixed per-query overhead plus 10x data over
+constant parallelism); a ratio near 100x means a quadratic crept in.
+
+Usage: python scripts/bench_dedup_sf1.py  [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from mysql_binlog_spark.dedup.components import duplicate_groups
+from mysql_binlog_spark.dedup.jaccard import ngram_jaccard_pairs
+from mysql_binlog_spark.dedup.minhash import minhash_dedup_pairs
+from mysql_binlog_spark.dedup.simhash import simhash_near_dup_pairs
+from mysql_binlog_spark.session import get_spark
+
+SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
+N_COPIES = 10
+
+
+def synthesize_sf1(spark, out_path: str) -> None:
+    """Ten word-rotated copies of the sf0.1 documents table (cached)."""
+    if os.path.exists(out_path):
+        return
+    docs = spark.read.parquet(SF01_DOCS)
+    n_docs = docs.count()
+    copies = []
+    for k in range(N_COPIES):
+        if k == 0:
+            rotated = F.col("text")
+        else:
+            w = F.split(F.col("text"), " ")
+            p = (F.size(w) * k / N_COPIES).cast("int")
+            rotated = F.array_join(
+                F.concat(
+                    F.slice(w, p + 1, F.greatest(F.size(w) - p, F.lit(0))),
+                    F.slice(w, 1, p),
+                ),
+                " ",
+            )
+        copies.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
+                rotated.alias("text"),
+                "lang",
+                "source",
+                F.length(rotated).cast("long").alias("n_chars"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    tmp = out_path + ".tmp"
+    big.repartition(32).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, out_path)
+
+
+QUERIES = {
+    "dedup_minhash_lsh": lambda d: minhash_dedup_pairs(
+        d, num_perm=16, bands=4, threshold=0.5
+    ),
+    "dedup_simhash": lambda d: simhash_near_dup_pairs(d, max_hamming=3),
+    "dedup_ngram_jaccard": lambda d: ngram_jaccard_pairs(d, k=3, threshold=0.3),
+    "dedup_group_assignment": lambda d: duplicate_groups(
+        minhash_dedup_pairs(d, num_perm=16, bands=4, threshold=0.5)
+    ),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    spark = get_spark("bench-dedup-sf1")
+    sf1_path = os.path.join(tempfile.gettempdir(), "spark_graft_docs_sf1_v1")
+    synthesize_sf1(spark, sf1_path)
+
+    inputs = {
+        "sf0.1": spark.read.parquet(SF01_DOCS),
+        "sf1": spark.read.parquet(sf1_path),
+    }
+    load0 = os.getloadavg()
+    result: dict = {
+        "n_docs": {k: v.count() for k, v in inputs.items()},
+        "load_start": round(load0[0], 2),
+        "reps": args.reps,
+    }
+    timings: dict = {}
+    counts: dict = {}
+    for name, qf in QUERIES.items():
+        timings[name] = {}
+        counts[name] = {}
+        for sf, docs in inputs.items():
+            # warmup rep 0 included in the median set like bench.py
+            times = []
+            for _ in range(args.reps):
+                t0 = time.monotonic()
+                qf(docs).write.format("noop").mode("overwrite").save()
+                times.append(time.monotonic() - t0)
+            timings[name][sf] = round(statistics.median(times), 3)
+            counts[name][sf] = qf(docs).count()
+        timings[name]["ratio"] = round(
+            timings[name]["sf1"] / max(timings[name]["sf0.1"], 1e-9), 2
+        )
+    result["timings"] = timings
+    result["counts"] = counts
+    result["load_end"] = round(os.getloadavg()[0], 2)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
