@@ -5,14 +5,21 @@ All per-round perf evidence is sf0.1 (5k documents); a quadratic shape
 hidden behind the blocking guards (band-bucket skew, chunk-window blowup)
 would only show at 10x. No sf1 testdata exists, so this script
 synthesizes a deterministic 10x documents table FROM sf0.1: ten copies,
-each with doc_ids offset into a disjoint range and its text WORD-ROTATED
-by a copy-specific fraction (k/10 of the word count). Rotation preserves
-the within-copy near-dup structure (two similar texts rotate into two
-similar texts — shingle overlap survives except at the cut point) while
-making copies of the SAME document dissimilar to each other (every
-k-shingle crosses different word boundaries), so pair counts scale
-~linearly with corpus size instead of quadratically with the copy count
-— the honest 10x, not 10 near-identical replicas.
+each with doc_ids offset into a disjoint range and EVERY TOKEN suffixed
+with a copy tag (``word`` -> ``wordqKq``, alphanumeric so the tokenizer
+keeps it fused into one token). The per-token suffix preserves
+the within-copy near-dup structure exactly (both members of a near-dup
+pair transform identically, so their shingle overlap is unchanged) while
+making copies of the SAME document share ZERO tokens/shingles — pair
+counts scale exactly linearly with corpus size, the honest 10x.
+
+(The first cut of this script used word ROTATION instead — wrong: a
+rotation is a cyclic shift, preserving the token multiset (simhash:
+identical sketch) and all but ~k boundary shingles (minhash/jaccard:
+Jaccard ~= 1), so every document matched its 9 copies and the corpus
+became an adversarial dense-duplicate stress test: 237k minhash pairs
+instead of ~2.5k. Those numbers are reported in BENCH.md as a bonus
+hot-group stress result; ``--adversarial`` reproduces them.)
 
 Runs each dedup query at sf0.1 and the synthesized sf1 IN THE SAME
 SESSION (same JIT/codegen state) and prints one JSON line with both
@@ -20,7 +27,7 @@ timings, the scale ratios, and pair/group counts. A ratio near ~10-15x
 on 32 cores is linear-ish (fixed per-query overhead plus 10x data over
 constant parallelism); a ratio near 100x means a quadratic crept in.
 
-Usage: python scripts/bench_dedup_sf1.py  [--reps 2]
+Usage: python scripts/bench_dedup_sf1.py  [--reps 2] [--adversarial]
 """
 
 from __future__ import annotations
@@ -47,33 +54,40 @@ SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
 N_COPIES = 10
 
 
-def synthesize_sf1(spark, out_path: str) -> None:
-    """Ten word-rotated copies of the sf0.1 documents table (cached)."""
+def synthesize_sf1(spark, out_path: str, adversarial: bool = False) -> None:
+    """Ten copies of the sf0.1 documents table (cached): per-token copy
+    suffix (disjoint shingle spaces -> linear pair growth), or word
+    rotation with --adversarial (near-identical copies -> dense
+    duplicate-group stress corpus; see module docstring)."""
     if os.path.exists(out_path):
         return
     docs = spark.read.parquet(SF01_DOCS)
     n_docs = docs.count()
     copies = []
     for k in range(N_COPIES):
+        w = F.split(F.col("text"), " ")
         if k == 0:
-            rotated = F.col("text")
-        else:
-            w = F.split(F.col("text"), " ")
+            text_k = F.col("text")
+        elif adversarial:
             p = (F.size(w) * k / N_COPIES).cast("int")
-            rotated = F.array_join(
+            text_k = F.array_join(
                 F.concat(
                     F.slice(w, p + 1, F.greatest(F.size(w) - p, F.lit(0))),
                     F.slice(w, 1, p),
                 ),
                 " ",
             )
+        else:
+            text_k = F.array_join(
+                F.transform(w, lambda t: F.concat(t, F.lit(f"q{k}q"))), " "
+            )
         copies.append(
             docs.select(
                 (F.col("doc_id") + F.lit(k * n_docs)).alias("doc_id"),
-                rotated.alias("text"),
+                text_k.alias("text"),
                 "lang",
                 "source",
-                F.length(rotated).cast("long").alias("n_chars"),
+                F.length(text_k).cast("long").alias("n_chars"),
             )
         )
     big = copies[0]
@@ -99,11 +113,15 @@ QUERIES = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--adversarial", action="store_true")
     args = ap.parse_args()
 
     spark = get_spark("bench-dedup-sf1")
-    sf1_path = os.path.join(tempfile.gettempdir(), "spark_graft_docs_sf1_v1")
-    synthesize_sf1(spark, sf1_path)
+    tag = "adv" if args.adversarial else "lin"
+    sf1_path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_docs_sf1_v3_{tag}"
+    )
+    synthesize_sf1(spark, sf1_path, adversarial=args.adversarial)
 
     inputs = {
         "sf0.1": spark.read.parquet(SF01_DOCS),
