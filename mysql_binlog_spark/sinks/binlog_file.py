@@ -640,6 +640,24 @@ def _nc_row_size(op: str, key: bytes, old_c, new_c, new_cm) -> int:
     return img(key, old_c.encode()) + img(key, new_cm.encode(), new_c.encode())
 
 
+def nc_row_size_expr():
+    """``_nc_row_size`` as a Spark expression over the diff columns —
+    kept next to the byte encoder so the two can never drift (a parity
+    test pins them). Drives the DISTRIBUTED rotation assignment: segment
+    = floor(cum_bytes_before_row / max_file_bytes) via a window cumsum,
+    the same accumulate rule as the 8KB chunks."""
+    key_len = F.octet_length("repo") + 1 + F.octet_length("path")
+    img = lambda *lens: 1 + sum(4 + ln for ln in lens)  # noqa: E731
+    after = img(key_len, F.octet_length("new_commit"),
+                F.octet_length("new_content"))
+    before = img(key_len, F.octet_length("old_content"))
+    return (
+        F.when(F.col("diff_op") == "I", after)
+        .when(F.col("diff_op") == "D", before)
+        .otherwise(before + after)
+    ).cast("long")
+
+
 def write_netchange_binlog_files(
     changes: DataFrame,
     out_dir: str,
@@ -652,18 +670,28 @@ def write_netchange_binlog_files(
     ``out_dir/<repo>/chg_{start}_{end}.log[.z]``:
 
     - per-repo output directory (encoded via ``safe_file_component``);
-    - size-based ROTATION: rows are (seq, path)-ordered, then cut greedily
-      into segments whose encoded row payload stays under
-      ``max_file_bytes`` (None = one file per repo); each segment is a
-      complete self-describing binlog file whose ROTATE event names the
-      next segment's prefix (the reference's NextPrefix,
-      common/inter/constant.go:137-139);
+    - size-based ROTATION, assigned DISTRIBUTED: a window cumsum of the
+      encoded row size over (seq, path) order puts each row in segment
+      ``floor(cum_bytes_before_row / max_file_bytes)`` — the same
+      accumulate rule as the 8KB chunks (a segment may overshoot by at
+      most one row) — and the writer tasks group by (repo, segment).
+      This bounds EVERY writer task's materialized group to
+      ~max_file_bytes and spreads a hot repo's segments across the
+      cluster: the one-task-per-repo shape would buffer a
+      90%-of-the-changefeed repo in a single executor's pandas frame.
+      (The window sort itself spills through Spark's sorter; it is the
+      pandas group materialization that must stay bounded.) Each segment
+      is a complete self-describing binlog file whose ROTATE event names
+      the next segment's prefix (the reference's NextPrefix,
+      common/inter/constant.go:137-139). ``max_file_bytes=None`` keeps
+      one file (one group) per repo.
     - optional whole-stream zlib (``.log.z`` — common/client/cfs.go:62-68).
 
-    Files are written ON THE EXECUTORS (one applyInPandas group per repo —
-    change payloads shuffle exactly once, to their repo's writer); the
-    return value is the small per-file manifest with start/end seqs.
+    Files are written ON THE EXECUTORS; the return value is the small
+    per-file manifest with start/end seqs.
     """
+    from pyspark.sql import Window
+
     os.makedirs(out_dir, exist_ok=True)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -672,78 +700,64 @@ def write_netchange_binlog_files(
         # the per-op image validation sees real nulls
         pdf = pdf.astype(object).where(pd.notnull(pdf), None)
         repo = pdf["repo"].iloc[0]
+        seg = int(pdf["_seg"].iloc[0])
+        last_seg = int(pdf["_max_seg"].iloc[0])
         rows = list(
             zip(pdf["path"], pdf["diff_op"], pdf["old_content"],
-                pdf["new_content"], pdf["new_commit"], pdf["seq"])
+                pdf["new_content"], pdf["new_commit"])
         )
-        key_of = lambda p: _key_bytes(repo, p)  # noqa: E731
-        # greedy rotation over the seq-ordered rows: a segment closes once
-        # its encoded payload exceeds the bound (>=1 row per segment, like
-        # the 8KB chunk rule's overshoot-by-one-row flush)
-        segments: list[list] = [[]]
-        seg_bytes = 0
-        for r in rows:
-            path, op, old_c, new_c, new_cm, _seq = r
-            _nc_validate(op, old_c, new_c, new_cm, repo, path)
-            sz = _nc_row_size(op, key_of(path), old_c, new_c, new_cm)
-            if (
-                max_file_bytes is not None
-                and segments[-1]
-                and seg_bytes + sz > max_file_bytes
-            ):
-                segments.append([])
-                seg_bytes = 0
-            segments[-1].append(r)
-            seg_bytes += sz
-        if not segments[-1]:
-            segments.pop()
-
+        start, end = int(pdf["seq"].iloc[0]), int(pdf["seq"].iloc[-1])
+        nxt = f"{NETCHANGE_KIND}_{end:010d}" if seg < last_seg else ""
+        blob = build_netchange_file(
+            rows, repo, start_xid=3 * seg + 1, next_name=nxt
+        )
+        name = f"{NETCHANGE_KIND}_{start:010d}_{end:010d}.log"
+        if compress:
+            blob = zlib.compress(blob, 6)
+            name += ".z"
         rdir = os.path.join(out_dir, safe_file_component(repo))
         os.makedirs(rdir, exist_ok=True)
-        recs = []
-        for i, seg in enumerate(segments):
-            start, end = int(seg[0][5]), int(seg[-1][5])
-            nxt = (
-                f"{NETCHANGE_KIND}_{end:010d}"
-                if i < len(segments) - 1
-                else ""
-            )
-            blob = build_netchange_file(
-                [r[:5] for r in seg], repo, start_xid=3 * i + 1, next_name=nxt
-            )
-            name = f"{NETCHANGE_KIND}_{start:010d}_{end:010d}.log"
-            if compress:
-                blob = zlib.compress(blob, 6)
-                name += ".z"
-            tmp = os.path.join(rdir, f".{name}.tmp-{os.getpid()}")
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, os.path.join(rdir, name))
-            ops = [r[1] for r in seg]
-            recs.append(
-                {
-                    "repo": repo,
-                    "file_name": f"{safe_file_component(repo)}/{name}",
-                    "n_rows": len(seg),
-                    "n_inserts": ops.count("I"),
-                    "n_deletes": ops.count("D"),
-                    "n_updates": ops.count("U"),
-                    "start_seq": start,
-                    "end_seq": end,
-                    "byte_len": len(blob),
-                    "compressed": compress,
-                    "file_sha256": hashlib.sha256(blob).hexdigest(),
-                }
-            )
+        tmp = os.path.join(rdir, f".{name}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, os.path.join(rdir, name))
+        ops = [r[1] for r in rows]
         return pd.DataFrame(
-            recs, columns=[f.name for f in NETCHANGE_MANIFEST_SCHEMA.fields]
+            [{
+                "repo": repo,
+                "file_name": f"{safe_file_component(repo)}/{name}",
+                "n_rows": len(rows),
+                "n_inserts": ops.count("I"),
+                "n_deletes": ops.count("D"),
+                "n_updates": ops.count("U"),
+                "start_seq": start,
+                "end_seq": end,
+                "byte_len": len(blob),
+                "compressed": compress,
+                "file_sha256": hashlib.sha256(blob).hexdigest(),
+            }],
+            columns=[f.name for f in NETCHANGE_MANIFEST_SCHEMA.fields],
         )
 
     cols = ["repo", "path", "diff_op", "seq", "old_content", "new_content",
             "new_commit"]
-    return changes.select(*cols).groupBy("repo").applyInPandas(
-        build, schema=NETCHANGE_MANIFEST_SCHEMA
-    )
+    df = changes.select(*cols)
+    if max_file_bytes is None:
+        df = df.withColumn("_seg", F.lit(0)).withColumn("_max_seg", F.lit(0))
+        grouped = df.groupBy("repo")
+    else:
+        w = Window.partitionBy("repo").orderBy("seq", "path")
+        cum_before = F.coalesce(
+            F.sum(nc_row_size_expr()).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        df = df.withColumn(
+            "_seg", F.floor(cum_before / F.lit(max_file_bytes)).cast("long")
+        ).withColumn("_max_seg", F.max("_seg").over(Window.partitionBy("repo")))
+        grouped = df.groupBy("repo", "_seg")
+    return grouped.applyInPandas(build, schema=NETCHANGE_MANIFEST_SCHEMA)
 
 
 def parse_netchange_bytes(blob: bytes) -> list[dict]:
