@@ -756,7 +756,12 @@ def write_netchange_binlog_files(
         df = df.withColumn(
             "_seg", F.floor(cum_before / F.lit(max_file_bytes)).cast("long")
         ).withColumn("_max_seg", F.max("_seg").over(Window.partitionBy("repo")))
-        grouped = df.groupBy("repo", "_seg")
+        # explicit (repo, seg) repartition: the groupBy's requirement is
+        # already satisfied by the window's repo-only partitioning (subset
+        # rule), which would keep ALL of a hot repo's segments serialized
+        # through one task — the second exchange is deliberate, it buys
+        # cross-executor parallelism for the dominant repo's segments
+        grouped = df.repartition("repo", "_seg").groupBy("repo", "_seg")
     return grouped.applyInPandas(build, schema=NETCHANGE_MANIFEST_SCHEMA)
 
 
