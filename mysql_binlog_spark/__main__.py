@@ -117,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
     be.add_argument("--table", required=True)
     be.add_argument("--out", required=True)
     be.add_argument("--version", type=int, default=None)
+    be.add_argument(
+        "--max-file-bytes", type=int, default=None, dest="max_file_bytes",
+        help="rotate a repo's export at this payload size (bounds writer "
+        "memory; default: one file per repo)",
+    )
 
     bec = sub.add_parser(
         "binlog-export-changes",
@@ -328,7 +333,8 @@ def main(argv: list[str] | None = None) -> int:
             if c not in state.columns:
                 state = state.withColumn(c, F.lit(None).cast("string"))
         manifest = write_binlog_files(
-            state.select("repo", "path", "commit", "lang", "content"), args.out
+            state.select("repo", "path", "commit", "lang", "content"), args.out,
+            max_file_bytes=args.max_file_bytes,
         ).collect()
         print(
             json.dumps(

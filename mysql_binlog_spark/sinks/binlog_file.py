@@ -246,17 +246,33 @@ def build_binlog_file(rows: list[tuple[str, str, str, str | None, str]],
     return bytes(out)
 
 
-def write_binlog_files(snapshot: DataFrame, out_dir: str) -> DataFrame:
+def write_binlog_files(
+    snapshot: DataFrame, out_dir: str, max_file_bytes: int | None = None
+) -> DataFrame:
     """Export a (repo, path, commit, lang, content) snapshot / net-change
-    set as one binlog file per repo (the reference's per-table compacted
+    set as binlog files, one per repo (the reference's per-table compacted
     output, {type}_{start}_{end}.log — common/inter/constant.go:134-136).
-    Files are written by the EXECUTORS (one applyInPandas group per repo,
-    no driver collect); returns the per-file manifest DataFrame."""
+    Files are written by the EXECUTORS (no driver collect); returns the
+    per-file manifest DataFrame.
+
+    ``max_file_bytes`` bounds each writer task's materialized group the
+    same way the net-change exporter does: segment assignment by window
+    cumsum of the row size (``row_size_expr`` — pinned to the byte
+    encoder), writer tasks grouped by (repo, segment) behind an explicit
+    repartition, file names ``binlog-{repo}.{seg:05d}.log``. Without it
+    (the default, and the oracle-checked contract shape) a repo is one
+    transaction in one file — the reference's own per-table shape — and
+    a repo's whole snapshot materializes in one pandas frame, which at
+    lake scale means a hot repo needs the rotation bound.
+    """
+    from pyspark.sql import Window
+
     os.makedirs(out_dir, exist_ok=True)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("path")
         repo = pdf["repo"].iloc[0]
+        seg = int(pdf["_seg"].iloc[0]) if "_seg" in pdf.columns else None
         rows = list(
             zip(pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
                 pdf["content"])
@@ -265,8 +281,13 @@ def write_binlog_files(snapshot: DataFrame, out_dir: str) -> DataFrame:
             raise ValueError(
                 f"binlog export of {repo}: commit/content must be non-null"
             )
-        blob = build_binlog_file(rows, repo)
-        name = f"binlog-{safe_file_component(repo)}.log"
+        blob = build_binlog_file(rows, repo, xid=1 if seg is None else seg + 1)
+        enc_repo = safe_file_component(repo)
+        name = (
+            f"binlog-{enc_repo}.log"
+            if seg is None
+            else f"binlog-{enc_repo}.{seg:05d}.log"
+        )
         tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
         with open(tmp, "wb") as f:
             f.write(blob)
@@ -292,9 +313,24 @@ def write_binlog_files(snapshot: DataFrame, out_dir: str) -> DataFrame:
             }]
         )
 
-    return snapshot.select("repo", "path", "commit", "lang", "content").groupBy(
-        "repo"
-    ).applyInPandas(build, schema=FILE_MANIFEST_SCHEMA)
+    df = snapshot.select("repo", "path", "commit", "lang", "content")
+    if max_file_bytes is None:
+        grouped = df.groupBy("repo")
+    else:
+        w = Window.partitionBy("repo").orderBy("path")
+        sz = row_size_expr(
+            F.col("repo"), F.col("path"), F.col("commit"), F.col("lang"),
+            F.col("content"),
+        )
+        cum_before = F.coalesce(
+            F.sum(sz).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        df = df.withColumn(
+            "_seg", F.floor(cum_before / F.lit(max_file_bytes)).cast("long")
+        )
+        grouped = df.repartition("repo", "_seg").groupBy("repo", "_seg")
+    return grouped.applyInPandas(build, schema=FILE_MANIFEST_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,7 @@ from mysql_binlog_spark.dedup.simhash import simhash_near_dup_pairs
 from mysql_binlog_spark.session import get_spark
 
 SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
+SF01_EMB = "/root/testdata/sf0.1/embeddings.parquet"
 N_COPIES = 10
 
 
@@ -110,10 +111,67 @@ QUERIES = {
 }
 
 
+def synthesize_emb_sf1(spark, out_path: str) -> None:
+    """Ten copies of the sf0.1 embeddings: element ROTATION of the vector
+    by k positions — distinct (norm-preserving) vectors per copy,
+    disjoint vec_id ranges."""
+    if os.path.exists(out_path):
+        return
+    emb = spark.read.parquet(SF01_EMB)
+    n = emb.count()
+    copies = []
+    for k in range(N_COPIES):
+        v = F.col("embedding")
+        if k > 0:
+            v = F.concat(
+                F.slice(v, k + 1, F.size(v) - k), F.slice(v, 1, k)
+            )
+        copies.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * n)).alias("vec_id"),
+                v.alias("embedding"),
+                "label",
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    tmp = out_path + ".tmp"
+    big.repartition(16).write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, out_path)
+
+
+def _emb_double(e):
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def _ann_queries(qv):
+    from mysql_binlog_spark.similarity.ann import (
+        brute_force_topk,
+        ivf_build_centroids,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    return {
+        "ann_bruteforce_topk": lambda e: brute_force_topk(e, qv, k=10),
+        "ann_lsh_topk": lambda e: lsh_topk(
+            e, qv, k=10, n_planes=8, multiprobe=1
+        ),
+        "ann_ivf_topk": lambda e: ivf_topk(
+            e, qv, ivf_build_centroids(e, n_cells=8), k=10, nprobe=3
+        ),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--adversarial", action="store_true")
+    ap.add_argument("--family", choices=["all", "dedup", "ann"], default="all")
     args = ap.parse_args()
 
     spark = get_spark("bench-dedup-sf1")
@@ -135,10 +193,28 @@ def main() -> None:
     }
     timings: dict = {}
     counts: dict = {}
-    for name, qf in QUERIES.items():
+    families: dict = {}
+    if args.family in ("all", "dedup"):
+        families.update({n: (qf, inputs) for n, qf in QUERIES.items()})
+    if args.family in ("all", "ann"):
+        emb1_path = os.path.join(
+            tempfile.gettempdir(), "spark_graft_emb_sf1_v1"
+        )
+        synthesize_emb_sf1(spark, emb1_path)
+        emb_in = {
+            "sf0.1": _emb_double(spark.read.parquet(SF01_EMB)),
+            "sf1": _emb_double(spark.read.parquet(emb1_path)),
+        }
+        result["n_vecs"] = {k: v.count() for k, v in emb_in.items()}
+        qv_row = emb_in["sf0.1"].filter(F.col("vec_id") == 0).collect()[0]
+        qv = [float(x) for x in qv_row["embedding"]]
+        families.update(
+            {n: (qf, emb_in) for n, qf in _ann_queries(qv).items()}
+        )
+    for name, (qf, fam_inputs) in families.items():
         timings[name] = {}
         counts[name] = {}
-        for sf, docs in inputs.items():
+        for sf, docs in fam_inputs.items():
             # warmup rep 0 included in the median set like bench.py
             times = []
             for _ in range(args.reps):

@@ -149,3 +149,28 @@ def test_distributed_write_and_parse_roundtrip(spark, tmp_path):
     by_repo = {m["repo"]: m for m in manifest}
     for r in back.collect():
         assert r["chunk_idx"] < by_repo[r["repo"]]["n_chunks"]
+
+
+def test_rotated_snapshot_export_roundtrip(spark, tmp_path):
+    """max_file_bytes bounds every writer group and splits hot repos into
+    multiple complete binlog files; the distributed parse still recovers
+    the exact snapshot."""
+    rows = [
+        ("hot", f"p{i:04d}", f"c{i}", "py", "x" * 400) for i in range(150)
+    ] + [("cold", "q1", "c", None, "tiny")]
+    snap = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    out = str(tmp_path / "binlogs")
+    manifest = write_binlog_files(snap, out, max_file_bytes=8192).collect()
+    hot = [m for m in manifest if m["repo"] == "hot"]
+    assert len(hot) > 3  # rotation split the hot repo
+    assert all(m["byte_len"] < 3 * 8192 for m in hot)
+    assert sum(m["n_rows"] for m in hot) == 150
+    assert [m["n_rows"] for m in manifest if m["repo"] == "cold"] == [1]
+    back = read_binlog_files(spark, out)
+    got = sorted(
+        (r["repo"], r["path"], r["commit"], r["lang"], r["content"])
+        for r in back.collect()
+    )
+    assert got == sorted(rows)
