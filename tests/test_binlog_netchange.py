@@ -207,6 +207,11 @@ def test_compressed_export_and_tar_consolidation(spark, tmp_path):
     assert len(back) == n_before
     got = sorted((r["repo"], r["path"], r["diff_op"]) for r in back)
     assert got == sorted((r[0], r[1], r[2]) for r in rows)
+    # consolidation is idempotent: a second run finds no loose segments,
+    # folds nothing, and the existing tars survive untouched
+    again = consolidate_netchange_exports(spark, out).collect()
+    assert again == []
+    assert len(read_netchange_binlog_files(spark, out).collect()) == n_before
 
 
 def test_diff_export_roundtrip_equals_diff(spark, tmp_path):
