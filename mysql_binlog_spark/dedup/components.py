@@ -184,8 +184,19 @@ def _cc_star(pairs: DataFrame, src: str, dst: str, max_iters: int, ckpt):
             members = edges.select(
                 F.col("hi").alias("node"), F.col("lo").alias("group_id")
             )
-            return members.unionByName(roots).distinct()
-        del prev
+            labeled = members.unionByName(roots).distinct()
+            # nodes whose only edges were self-loops vanished with the
+            # lo != hi filter; keep them as singleton groups so both
+            # algorithms label the SAME node universe
+            universe = (
+                pairs.select(F.col(src).alias("node"))
+                .union(pairs.select(F.col(dst).alias("node")))
+                .distinct()
+            )
+            singles = universe.join(
+                labeled.select("node"), "node", "left_anti"
+            ).select("node", F.col("node").alias("group_id"))
+            return labeled.unionByName(singles)
     raise RuntimeError(
         f"connected_components(star) did not converge in {max_iters} rounds"
     )

@@ -264,3 +264,32 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint directory"):
         comp._checkpointer(_FakeDF(), True, None)
+
+
+def test_connected_components_star_randomized_equivalence(spark):
+    """Randomized (seeded) equivalence: on arbitrary graphs — random
+    sparse, clustered, self-loops, duplicate edges — star contraction and
+    min-label propagation must produce identical component labelings."""
+    import random
+
+    from mysql_binlog_spark.dedup.components import connected_components
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.randint(8, 40)
+        m = rng.randint(4, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges += [(i, i) for i in rng.sample(range(n), 3)]  # self-loops
+        edges += edges[:3]  # duplicates
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in edges], "id_a long, id_b long"
+        )
+        label = {r["node"]: r["group_id"]
+                 for r in connected_components(pairs, max_iters=60).collect()}
+        star = {r["node"]: r["group_id"]
+                for r in connected_components(
+                    pairs, algorithm="star", max_iters=60
+                ).collect()}
+        # identical node universe AND identical labeling (self-loop-only
+        # nodes survive as singletons in both algorithms)
+        assert star == label, trial
